@@ -28,6 +28,12 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     mod = sys.modules.get(name)
     if mod is None:
         mod = types.ModuleType(name)
+        # a real-looking spec + version so other libraries (e.g. pyspark's
+        # capability probes) that introspect the module don't choke on it
+        import importlib.machinery
+
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        mod.__version__ = "0.0.0"
         sys.modules[name] = mod
     for k, v in attrs.items():
         setattr(mod, k, v)
