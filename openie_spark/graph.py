@@ -1,0 +1,215 @@
+"""Graph materialization: triples (+ cluster labels) → node / edge tables.
+
+Reference behavior being reproduced: RelGraph._add_node / _add_edge upserts
+(/root/reference/relations.py:390-415, 500-594) — node key is the argument's
+lemma string, edge key is the literal ``_is_a_``/``_relates_to_`` label or
+``"{relation_lemmas} + {right_deprel}"``; weights count occurrences;
+descriptions / clusters are set-unions of source-sentence texts / cluster
+ids. We store sets as proper ``array`` columns instead of the reference's
+``" | "``-joined strings, and vectors as a true weighted mean instead of the
+reference's order-dependent ``(w·v_old + v_new)/2`` running update
+(documented delta — vectors only gate merges; SURVEY.md §2.6 A1).
+
+Scale design:
+- groupBy on Zipfian lemma keys → two-phase **salted** aggregation
+  (``salt = pmod(hash(url, sent_id), n_salts)``): partial agg on
+  (key, salt) spreads a hot key over n_salts reducers, the final agg merges
+  n_salts partials per key. Catalyst's map-side partial aggregation already
+  bounds sum/count skew; salting additionally bounds the per-reducer size
+  of the collect_set state, which is the real OOM risk for hot lemmas.
+- ``max_descriptions`` caps per-node description sets at scale (off by
+  default for reference parity at test scale).
+- "first label" is made deterministic by electing min_by a stable
+  occurrence key (url, sent_id) — the reference's "first inserted" is its
+  single-threaded arrival order, which has no distributed analogue.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IS_A = "_is_a_"
+RELATES_TO = "_relates_to_"
+
+
+def edge_key_col() -> F.Column:
+    return (
+        F.when(F.col("relation").isin(IS_A, RELATES_TO), F.col("relation"))
+        .otherwise(F.concat_ws(" + ", F.col("relation_lemmas"), F.col("right_deprel")))
+    )
+
+
+def _occurrence_key() -> F.Column:
+    # stable total order stand-in for the reference's arrival order
+    return F.struct(F.col("url"), F.col("sent_id"))
+
+
+def node_occurrences(triples_df: DataFrame) -> DataFrame:
+    """Explode each triple into its two node occurrences."""
+    left = triples_df.select(
+        F.col("left_arg_lemmas").alias("lemma_key"),
+        F.col("left_arg").alias("label"),
+        F.col("sent_text"),
+        F.col("cluster"),
+        F.col("left_vec").alias("vector"),
+        "url",
+        "sent_id",
+    )
+    right = triples_df.select(
+        F.col("right_arg_lemmas").alias("lemma_key"),
+        F.col("right_arg").alias("label"),
+        F.col("sent_text"),
+        F.col("cluster"),
+        F.col("right_vec").alias("vector"),
+        "url",
+        "sent_id",
+    )
+    return left.unionByName(right)
+
+
+def _vector_sum(col: str) -> F.Column:
+    """Element-wise sum of float arrays via aggregate (JVM-side, codegen)."""
+    return F.aggregate(
+        F.collect_list(col),
+        F.lit(None).cast("array<double>"),
+        lambda acc, v: F.when(acc.isNull(), v.cast("array<double>")).otherwise(
+            F.zip_with(acc, v.cast("array<double>"), lambda a, b: a + b)
+        ),
+    )
+
+
+def aggregate_nodes(
+    triples_df: DataFrame,
+    n_salts: int = 8,
+    salted: bool = True,
+    max_descriptions: Optional[int] = None,
+) -> DataFrame:
+    """triples (with ``cluster`` column) → nodes(lemma_key, label,
+    descriptions, weight, vector, clusters)."""
+    occ = node_occurrences(triples_df).withColumn("occ_key", _occurrence_key())
+
+    if salted:
+        partial = (
+            occ.withColumn(
+                "salt", F.pmod(F.xxhash64("url", "sent_id"), F.lit(n_salts))
+            )
+            .groupBy("lemma_key", "salt")
+            .agg(
+                F.count(F.lit(1)).alias("w"),
+                F.min_by("label", "occ_key").alias("label"),
+                F.min("occ_key").alias("occ_key"),
+                F.collect_set("sent_text").alias("descs"),
+                F.collect_set("cluster").alias("clusters"),
+                _vector_sum("vector").alias("vsum"),
+            )
+        )
+        nodes = partial.groupBy("lemma_key").agg(
+            F.sum("w").alias("weight"),
+            F.min_by("label", "occ_key").alias("label"),
+            F.array_distinct(F.flatten(F.collect_list("descs"))).alias("descriptions"),
+            F.array_distinct(F.flatten(F.collect_list("clusters"))).alias("clusters"),
+            _vector_sum("vsum").alias("vsum"),
+        )
+    else:
+        nodes = occ.groupBy("lemma_key").agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.min_by("label", "occ_key").alias("label"),
+            F.collect_set("sent_text").alias("descriptions"),
+            F.collect_set("cluster").alias("clusters"),
+            _vector_sum("vector").alias("vsum"),
+        )
+
+    nodes = nodes.withColumn(
+        "vector",
+        F.transform(F.col("vsum"), lambda x: (x / F.col("weight")).cast("float")),
+    ).drop("vsum")
+    if max_descriptions is not None:
+        nodes = nodes.withColumn(
+            "descriptions", F.slice(F.array_sort("descriptions"), 1, max_descriptions)
+        )
+    return nodes
+
+
+def aggregate_edges(
+    triples_df: DataFrame,
+    n_salts: int = 8,
+    salted: bool = True,
+    max_descriptions: Optional[int] = None,
+) -> DataFrame:
+    """triples (with ``cluster``) → edges(src, dst, edge_key, label, lemmas,
+    deprel, descriptions, weight, clusters)."""
+    base = triples_df.select(
+        F.col("left_arg_lemmas").alias("src"),
+        F.col("right_arg_lemmas").alias("dst"),
+        edge_key_col().alias("edge_key"),
+        F.col("relation").alias("label"),
+        F.col("relation_lemmas").alias("lemmas"),
+        F.col("right_deprel").alias("deprel"),
+        "sent_text",
+        "cluster",
+        "url",
+        "sent_id",
+    ).withColumn("occ_key", _occurrence_key())
+
+    if salted:
+        partial = (
+            base.withColumn(
+                "salt", F.pmod(F.xxhash64("url", "sent_id"), F.lit(n_salts))
+            )
+            .groupBy("src", "dst", "edge_key", "salt")
+            .agg(
+                F.count(F.lit(1)).alias("w"),
+                F.min_by("label", "occ_key").alias("label"),
+                F.min_by("lemmas", "occ_key").alias("lemmas"),
+                F.min_by("deprel", "occ_key").alias("deprel"),
+                F.min("occ_key").alias("occ_key"),
+                F.collect_set("sent_text").alias("descs"),
+                F.collect_set("cluster").alias("clusters"),
+            )
+        )
+        edges = partial.groupBy("src", "dst", "edge_key").agg(
+            F.sum("w").alias("weight"),
+            F.min_by("label", "occ_key").alias("label"),
+            F.min_by("lemmas", "occ_key").alias("lemmas"),
+            F.min_by("deprel", "occ_key").alias("deprel"),
+            F.array_distinct(F.flatten(F.collect_list("descs"))).alias("descriptions"),
+            F.array_distinct(F.flatten(F.collect_list("clusters"))).alias("clusters"),
+        )
+    else:
+        edges = base.groupBy("src", "dst", "edge_key").agg(
+            F.count(F.lit(1)).alias("weight"),
+            F.min_by("label", "occ_key").alias("label"),
+            F.min_by("lemmas", "occ_key").alias("lemmas"),
+            F.min_by("deprel", "occ_key").alias("deprel"),
+            F.collect_set("sent_text").alias("descriptions"),
+            F.collect_set("cluster").alias("clusters"),
+        )
+    if max_descriptions is not None:
+        edges = edges.withColumn(
+            "descriptions", F.slice(F.array_sort("descriptions"), 1, max_descriptions)
+        )
+    return edges
+
+
+def with_degrees(nodes_df: DataFrame, edges_df: DataFrame) -> DataFrame:
+    """Attach degree_in / degree_out / frequency aggregates to nodes.
+
+    Degree tables are tiny relative to edges (one row per distinct endpoint)
+    and usually broadcastable; at full scale AQE picks the join strategy.
+    """
+    out_deg = edges_df.groupBy(F.col("src").alias("lemma_key")).agg(
+        F.count(F.lit(1)).alias("degree_out"),
+        F.sum("weight").alias("out_weight"),
+    )
+    in_deg = edges_df.groupBy(F.col("dst").alias("lemma_key")).agg(
+        F.count(F.lit(1)).alias("degree_in"),
+        F.sum("weight").alias("in_weight"),
+    )
+    return (
+        nodes_df.join(out_deg, "lemma_key", "left")
+        .join(in_deg, "lemma_key", "left")
+        .fillna(0, subset=["degree_in", "degree_out", "out_weight", "in_weight"])
+    )

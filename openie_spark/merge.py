@@ -1,0 +1,470 @@
+"""Entity canonicalization: the merge fixpoint over node / edge tables.
+
+Reference behavior (/root/reference/relations.py:417-810): repeatedly scan
+all edges; the first candidate set found wins; merge it; restart the scan —
+O(E²)·merges and order-dependent. Our semantics is the deterministic bulk
+version (SURVEY.md §2.8 G1): each round discovers **all** candidate groups
+with relational ops, resolves conflicts deterministically, applies every
+surviving merge at once via a broadcast mapping join, and iterates to a
+fixpoint. Triples (the P/R contract) are upstream and unaffected; node/edge
+outputs match the reference on order-insensitive fixtures.
+
+Candidate rule (G2, relations.py:596-656), replicated exactly:
+- targets sharing (source, edge_key) — or sources sharing (target,
+  edge_key) — over a non-``_is_a_``/``_relates_to_`` edge label,
+- anchor and candidate must share a cluster,
+- any two candidates connected by an edge (either direction) or sharing a
+  source sentence knock **each other** out (both discarded),
+- main = max by (weight, lemma) desc; others kept only if
+  cosine_distance(main, other) ≤ 0.3.
+
+Deltas vs the reference (each documented in SURVEY.md §7.3):
+- all non-conflicting groups merge per round (reference: first-found only),
+- both in- and out-edges of an absorbed node are re-pointed; the
+  reference's in-edges silently vanish via a dead ``elif``
+  (relations.py:732) — ``strict_parity=True`` reproduces the drop,
+- node vectors merge as a true weighted mean, not ``(w·v_old + v_new)/2``,
+- edge-merge weight is the sum of the pair's member weights, not the
+  reference's ``sum(set(weights))`` dedup quirk (relations.py:784-789),
+- edge merging is scoped to one (src, dst) pair per cluster; the reference
+  additionally relabels same-key edges on *other* pairs as a global side
+  effect of whichever pair its scan happened to hit first.
+
+Scale design: candidate discovery is equi-joins + groupBys (AQE-managed);
+per-group candidate lists are capped (``max_group``) because hot predicates
+(e.g. "<X> said <Y>") produce giant groups at web scale; the other→main
+mapping is tiny relative to the graph and is broadcast for the rewrite
+join (the north star's "broadcast dictionary join").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IS_A = "_is_a_"
+RELATES_TO = "_relates_to_"
+COSINE_THRESHOLD = 0.3  # reference: relations.py:26
+
+
+@dataclass
+class MergeConfig:
+    cosine_threshold: float = COSINE_THRESHOLD
+    max_rounds: int = 20
+    max_group: int = 64  # cap candidates per (anchor, key) group
+    strict_parity: bool = False  # reproduce the reference's in-edge drop
+    n_salts: int = 8
+
+
+def _dot(u: F.Column, v: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(u, v, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_distance_col(u: F.Column, v: F.Column) -> F.Column:
+    """1 - cos(u, v) with 0-norm → 0 (missing vectors never block a merge,
+    matching the reference's NaN-compares-false behavior)."""
+    nu = F.sqrt(_dot(u, u))
+    nv = F.sqrt(_dot(v, v))
+    return F.when((nu == 0) | (nv == 0), F.lit(0.0)).otherwise(
+        F.lit(1.0) - _dot(u, v) / (nu * nv)
+    )
+
+
+def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> DataFrame:
+    """One round of candidate discovery → mapping(other_key → main_key).
+
+    Returns an empty DataFrame when no merges remain.
+    """
+    nodesel = nodes.select(
+        F.col("lemma_key"),
+        F.col("weight"),
+        F.col("vector"),
+        F.col("clusters"),
+        F.col("descriptions"),
+    )
+
+    mergeable = edges.filter(~F.col("label").isin(IS_A, RELATES_TO))
+    # direction "t": shared (source, key) → candidate targets
+    # direction "s": shared (target, key) → candidate sources
+    cand = (
+        mergeable.select(
+            F.lit("t").alias("direction"),
+            F.col("src").alias("anchor"),
+            F.col("edge_key"),
+            F.col("dst").alias("cand"),
+        )
+        .unionByName(
+            mergeable.select(
+                F.lit("s").alias("direction"),
+                F.col("dst").alias("anchor"),
+                F.col("edge_key"),
+                F.col("src").alias("cand"),
+            )
+        )
+        .distinct()
+    )
+
+    # cluster gate: anchor and candidate share a cluster (relations.py:605-607)
+    anchor_c = nodesel.select(
+        F.col("lemma_key").alias("anchor"), F.col("clusters").alias("anchor_clusters")
+    )
+    cand_attrs = nodesel.select(
+        F.col("lemma_key").alias("cand"),
+        F.col("weight").alias("cand_weight"),
+        F.col("vector").alias("cand_vector"),
+        F.col("clusters").alias("cand_clusters"),
+        F.col("descriptions").alias("cand_descs"),
+    )
+    gated = (
+        cand.join(anchor_c, "anchor")
+        .join(cand_attrs, "cand")
+        .filter(F.arrays_overlap("anchor_clusters", "cand_clusters"))
+        .select("direction", "anchor", "edge_key", "cand", "cand_weight",
+                "cand_vector", "cand_clusters", "cand_descs")
+    )
+
+    # groups need ≥2 candidates; cap giant groups by weight desc (hot keys)
+    w_grp = Window.partitionBy("direction", "anchor", "edge_key")
+    w_rank = w_grp.orderBy(F.desc("cand_weight"), F.desc("cand"))
+    grouped = (
+        gated.withColumn("grp_size", F.count(F.lit(1)).over(w_grp))
+        .filter(F.col("grp_size") >= 2)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .filter(F.col("rk") <= cfg.max_group)
+    )
+    grouped = grouped.withColumn(
+        "grp", F.xxhash64("direction", "anchor", "edge_key")
+    ).cache()
+
+    if grouped.isEmpty():
+        return _empty_mapping(nodes)
+
+    # pairwise exclusions: an edge between the pair (either direction) or a
+    # shared source sentence discards BOTH members (relations.py:627-637)
+    a = grouped.select("grp", F.col("cand").alias("c1"), F.col("cand_descs").alias("d1"))
+    b = grouped.select("grp", F.col("cand").alias("c2"), F.col("cand_descs").alias("d2"))
+    pairs = a.join(b, "grp").filter(F.col("c1") < F.col("c2"))
+
+    edge_pairs = edges.select("src", "dst").distinct()
+    pairs_with_edge = (
+        pairs.join(
+            edge_pairs,
+            ((pairs.c1 == edge_pairs.src) & (pairs.c2 == edge_pairs.dst))
+            | ((pairs.c2 == edge_pairs.src) & (pairs.c1 == edge_pairs.dst)),
+            "left_semi",
+        ).select("grp", "c1", "c2")
+    )
+    pairs_desc_overlap = pairs.filter(F.arrays_overlap("d1", "d2")).select(
+        "grp", "c1", "c2"
+    )
+    bad_pairs = pairs_with_edge.unionByName(pairs_desc_overlap).distinct()
+    bad_members = (
+        bad_pairs.select("grp", F.col("c1").alias("cand"))
+        .unionByName(bad_pairs.select("grp", F.col("c2").alias("cand")))
+        .distinct()
+    )
+
+    survivors = grouped.join(bad_members, ["grp", "cand"], "left_anti")
+
+    # elect main per group: max (weight, lemma) desc (relations.py:642-646)
+    w_main = Window.partitionBy("grp").orderBy(
+        F.desc("cand_weight"), F.desc("cand")
+    )
+    ranked = survivors.withColumn("pos", F.row_number().over(w_main)).withColumn(
+        "n_surv", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    ).filter(F.col("n_surv") >= 2)
+
+    mains = ranked.filter(F.col("pos") == 1).select(
+        "grp",
+        F.col("cand").alias("main"),
+        F.col("cand_weight").alias("main_weight"),
+        F.col("cand_vector").alias("main_vector"),
+    )
+    others = ranked.filter(F.col("pos") > 1).select(
+        "grp", F.col("cand").alias("other"), F.col("cand_vector").alias("other_vector")
+    )
+    joined = others.join(mains, "grp").filter(
+        cosine_distance_col(F.col("main_vector"), F.col("other_vector"))
+        <= cfg.cosine_threshold
+    )
+
+    # conflict resolution across groups: one main per other (highest-priority
+    # main wins); a main absorbed elsewhere defers to the next round
+    w_other = Window.partitionBy("other").orderBy(
+        F.desc("main_weight"), F.desc("main")
+    )
+    mapping = (
+        joined.withColumn("r", F.row_number().over(w_other))
+        .filter(F.col("r") == 1)
+        .select("other", "main")
+        .distinct()
+    )
+    absorbed = mapping.select(F.col("other").alias("k"))
+    mapping = mapping.join(
+        absorbed, mapping.main == absorbed.k, "left_anti"
+    ).select("other", "main")
+    grouped.unpersist()
+    return mapping
+
+
+def _empty_mapping(nodes: DataFrame) -> DataFrame:
+    return nodes.sparkSession.createDataFrame(
+        [], "other string, main string"
+    )
+
+
+def apply_node_mapping(
+    nodes: DataFrame, edges: DataFrame, mapping: DataFrame, cfg: MergeConfig
+) -> Tuple[DataFrame, DataFrame]:
+    """Rewrite nodes and edges under other→main; re-aggregate both tables."""
+    bmap = F.broadcast(mapping)
+
+    # ---- nodes -------------------------------------------------------------
+    n = nodes.join(
+        bmap.withColumnRenamed("other", "lemma_key"), "lemma_key", "left"
+    ).withColumn("is_main_row", F.col("main").isNull()).withColumn(
+        "new_key", F.coalesce("main", "lemma_key")
+    )
+    merged_nodes = n.groupBy(F.col("new_key").alias("lemma_key")).agg(
+        F.sum("weight").alias("weight"),
+        # label: main's label first, absorbed labels appended in
+        # (weight, lemma) desc order — the reference's " | " join order
+        F.concat_ws(
+            " | ",
+            F.flatten(
+                F.transform(
+                    F.reverse(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("is_main_row").cast("int").alias("m"),
+                                    F.col("weight").alias("w"),
+                                    F.col("lemma_key").alias("k"),
+                                    F.col("label").alias("label"),
+                                )
+                            )
+                        )
+                    ),
+                    lambda s: F.array(s["label"]),
+                )
+            ),
+        ).alias("label"),
+        F.array_distinct(F.flatten(F.collect_list("descriptions"))).alias("descriptions"),
+        F.array_distinct(F.flatten(F.collect_list("clusters"))).alias("clusters"),
+        F.aggregate(
+            F.collect_list(F.struct("weight", "vector")),
+            F.lit(None).cast("array<double>"),
+            lambda acc, s: F.when(acc.isNull(), F.transform(
+                s["vector"], lambda x: x.cast("double") * s["weight"]
+            )).otherwise(
+                F.zip_with(
+                    acc,
+                    s["vector"],
+                    lambda a, b: a + b.cast("double") * s["weight"],
+                )
+            ),
+        ).alias("vsum"),
+    )
+    merged_nodes = merged_nodes.withColumn(
+        "vector", F.transform("vsum", lambda x: (x / F.col("weight")).cast("float"))
+    ).drop("vsum")
+
+    # ---- edges -------------------------------------------------------------
+    e = edges.join(
+        bmap.withColumnRenamed("other", "src").withColumnRenamed("main", "src_main"),
+        "src",
+        "left",
+    )
+    if cfg.strict_parity:
+        # reference quirk: in-edges of absorbed nodes vanish (dead elif,
+        # relations.py:732) — drop edges whose dst is absorbed
+        e = e.join(
+            bmap.select(F.col("other").alias("dst")), "dst", "left_anti"
+        ).withColumn("dst_main", F.lit(None).cast("string"))
+    else:
+        e = e.join(
+            bmap.withColumnRenamed("other", "dst").withColumnRenamed("main", "dst_main"),
+            "dst",
+            "left",
+        )
+    e = e.withColumn("src", F.coalesce("src_main", "src")).withColumn(
+        "dst", F.coalesce("dst_main", "dst")
+    ).drop("src_main", "dst_main")
+
+    merged_edges = e.groupBy("src", "dst", "edge_key").agg(
+        F.sum("weight").alias("weight"),
+        F.min("label").alias("label"),
+        F.min("lemmas").alias("lemmas"),
+        F.min("deprel").alias("deprel"),
+        F.array_distinct(F.flatten(F.collect_list("descriptions"))).alias("descriptions"),
+        F.array_distinct(F.flatten(F.collect_list("clusters"))).alias("clusters"),
+    )
+    return merged_nodes, merged_edges
+
+
+# ---- edge merging (G4/G5) ---------------------------------------------------
+
+_EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.StringType()),
+        T.StructField("dst", T.StringType()),
+        T.StructField("edge_key", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("lemmas", T.StringType()),
+        T.StructField("deprel", T.StringType()),
+        T.StructField("descriptions", T.ArrayType(T.StringType())),
+        T.StructField("clusters", T.ArrayType(T.IntegerType())),
+        T.StructField("changed", T.IntegerType()),
+    ]
+)
+
+
+def merge_parallel_edges(edges: DataFrame) -> DataFrame:
+    """Merge parallel relation edges of one (src, dst) pair that share a
+    cluster, have all-distinct labels, and no shared source sentence
+    (relations.py:658-810). Grouped-map over (src, dst): each group is the
+    pair's parallel edge set — tiny — so the per-group Python is O(k²) on
+    k ≤ a few dozen. Emits a ``changed`` flag so the fixpoint driver can
+    detect quiescence cheaply."""
+
+    def _aslist(v):
+        # Arrow hands array columns to pandas as numpy arrays; `arr or []`
+        # is a truthiness trap (a 1-element array of 0 is falsy)
+        return [] if v is None else list(v)
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = pdf.to_dict("records")
+        for r in rows:
+            r["changed"] = 0
+        changed = True
+        while changed:
+            changed = False
+            clusters = sorted(
+                {c for r in rows if not _literal(r) for c in _aslist(r["clusters"])}
+            )
+            for cl in clusters:
+                group = [
+                    r
+                    for r in rows
+                    if not _literal(r) and cl in _aslist(r["clusters"])
+                ]
+                if len(group) < 2:
+                    continue
+                labels = [r["label"] for r in group]
+                if len(set(labels)) != len(labels):
+                    continue
+                # pairwise shared-sentence exclusion (both discarded)
+                excluded = set()
+                for i in range(len(group)):
+                    for j in range(i + 1, len(group)):
+                        if set(_aslist(group[i]["descriptions"])) & set(
+                            _aslist(group[j]["descriptions"])
+                        ):
+                            excluded.add(i)
+                            excluded.add(j)
+                group = [g for i, g in enumerate(group) if i not in excluded]
+                if len(group) < 2:
+                    continue
+                # merge: attr set-unions; weight = plain sum (documented
+                # delta vs the reference's sum-over-set dedup)
+                new_label = " | ".join(
+                    sorted({p for g in group for p in g["label"].split(" | ")})
+                )
+                new_lemmas = " | ".join(
+                    sorted({p for g in group for p in g["lemmas"].split(" | ")})
+                )
+                new_deprel = " | ".join(
+                    sorted({p for g in group for p in g["deprel"].split(" | ")})
+                )
+                new_descs = sorted(
+                    {d for g in group for d in _aslist(g["descriptions"])}
+                )
+                new_clusters = sorted(
+                    {int(c) for g in group for c in _aslist(g["clusters"])}
+                )
+                new_row = {
+                    "src": group[0]["src"],
+                    "dst": group[0]["dst"],
+                    "edge_key": f"{new_lemmas} + {new_deprel}",
+                    "weight": int(sum(g["weight"] for g in group)),
+                    "label": new_label,
+                    "lemmas": new_lemmas,
+                    "deprel": new_deprel,
+                    "descriptions": new_descs,
+                    "clusters": new_clusters,
+                    "changed": 1,
+                }
+                ids = {id(g) for g in group}
+                rows = [r for r in rows if id(r) not in ids]
+                # collapse with an existing same-key edge if present
+                existing = next(
+                    (r for r in rows if r["edge_key"] == new_row["edge_key"]), None
+                )
+                if existing is not None:
+                    existing["weight"] += new_row["weight"]
+                    existing["descriptions"] = sorted(
+                        set(_aslist(existing["descriptions"])) | set(new_descs)
+                    )
+                    existing["clusters"] = sorted(
+                        set(_aslist(existing["clusters"])) | set(new_clusters)
+                    )
+                    existing["changed"] = 1
+                else:
+                    rows.append(new_row)
+                changed = True
+                break
+        return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
+
+    def _literal(r) -> bool:
+        return r["label"] in (IS_A, RELATES_TO)
+
+    return edges.groupBy("src", "dst").applyInPandas(merge_group, schema=_EDGE_SCHEMA)
+
+
+def merge_fixpoint(
+    nodes: DataFrame,
+    edges: DataFrame,
+    cfg: Optional[MergeConfig] = None,
+) -> Tuple[DataFrame, DataFrame, int]:
+    """Run node-merge + edge-merge rounds to a fixpoint.
+
+    Each round materializes via localCheckpoint to cut lineage (the loop
+    would otherwise stack a full join tree per round). Returns
+    (nodes, edges, rounds_run).
+    """
+    cfg = cfg or MergeConfig()
+    rounds = 0
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    while rounds < cfg.max_rounds:
+        rounds += 1
+        progressed = False
+
+        mapping = find_node_mapping(nodes, edges, cfg).cache()
+        if not mapping.isEmpty():
+            nodes, edges = apply_node_mapping(nodes, edges, mapping, cfg)
+            nodes = nodes.localCheckpoint(eager=True)
+            edges = edges.localCheckpoint(eager=True)
+            progressed = True
+        mapping.unpersist()
+
+        new_edges = merge_parallel_edges(edges).localCheckpoint(eager=True)
+        if new_edges.filter(F.col("changed") == 1).isEmpty():
+            edges = new_edges.drop("changed")
+        else:
+            edges = new_edges.drop("changed")
+            progressed = True
+
+        if not progressed:
+            break
+    return nodes, edges, rounds

@@ -1,0 +1,234 @@
+"""Top-K entity filtering + removed-node bypass.
+
+Reference behavior (/root/reference/relations.py:496-498, 828-892):
+
+1. ``_find_nodes_to_remove``: keep the N heaviest nodes, then iteratively
+   swap out any kept node whose edges *within the kept set* are all
+   ``_is_a_``/``_relates_to_``, pulling in the next-heaviest. Two quirks
+   kept verbatim (SURVEY.md §2.8 G6): the in-edge check tests
+   ``target in nodes_to_leave`` — for an in-edge the target IS the node, so
+   in-edge labels count unconditionally; and the swap-in cursor starts at
+   index ``min(N, len)+1``, skipping one node. Weight ties, nondeterministic
+   set order in the reference, are broken by lemma DESC (matching the
+   (weight, node)-desc sort used by merge-main election).
+
+2. ``_perform_filtering``: for each removed node, add pred→succ bypass
+   edges where in-label == out-label, then drop the node. Sequential in the
+   reference; we process *independent batches* of removed nodes per round
+   (a removed node defers if it has an edge to a removed neighbor with a
+   smaller hash) so simultaneous removals can't break label-equal chains —
+   the batch version composes to the same result as the sequential one.
+
+Scale: the swap refinement runs on a driver-collected slice bounded by
+entities_limit (default 10,000 — /root/reference/instance/config.json:5)
+plus a swap buffer; the bypass rounds are joins, fully distributed.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Set, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IS_A = "_is_a_"
+RELATES_TO = "_relates_to_"
+
+
+def find_nodes_to_keep(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_nodes_to_leave: int,
+    buffer_factor: int = 3,
+) -> Set[str]:
+    """Driver-side replica of the reference's swap refinement, on a
+    collected top slice (≤ N·buffer_factor rows — N is entities_limit-scale,
+    so this is a small collect by design)."""
+    n_buffer = n_nodes_to_leave * buffer_factor + 64
+    top = (
+        nodes.select("lemma_key", "weight")
+        .orderBy(F.desc("weight"), F.desc("lemma_key"))
+        .limit(n_buffer)
+        .collect()
+    )
+    all_nodes = [r["lemma_key"] for r in top]
+    cand_set = set(all_nodes)
+
+    spark = nodes.sparkSession
+    cand_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in sorted(cand_set)], "k string")
+    )
+    induced = (
+        edges.join(cand_df.withColumnRenamed("k", "src"), "src", "left_semi")
+        .join(cand_df.withColumnRenamed("k", "dst"), "dst", "left_semi")
+        .select("src", "dst", "label")
+        .collect()
+    )
+    out_edges: dict = {}
+    in_edges: dict = {}
+    for e in induced:
+        if e["src"] in cand_set and e["dst"] in cand_set:
+            out_edges.setdefault(e["src"], []).append((e["dst"], e["label"]))
+            in_edges.setdefault(e["dst"], []).append((e["src"], e["label"]))
+
+    keep = min(n_nodes_to_leave, len(all_nodes))
+    nodes_to_leave = set(all_nodes[:keep])
+    next_node_index = keep + 1  # reference's +1 skip quirk
+
+    while True:
+        for node in sorted(nodes_to_leave):  # deterministic scan order
+            out_labels = [
+                lbl for tgt, lbl in out_edges.get(node, []) if tgt in nodes_to_leave
+            ]
+            # in-edge quirk: target==node is always in nodes_to_leave
+            in_labels = [lbl for _, lbl in in_edges.get(node, [])]
+            labels = out_labels + in_labels
+            if all(l in (IS_A, RELATES_TO) for l in labels):
+                nodes_to_leave.discard(node)
+                if next_node_index < len(all_nodes):
+                    nodes_to_leave.add(all_nodes[next_node_index])
+                    next_node_index += 1
+                break
+        else:
+            break
+    return nodes_to_leave
+
+
+def bypass_and_drop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    keep_keys: Set[str],
+    max_rounds: int = 50,
+) -> Tuple[DataFrame, DataFrame]:
+    """Drop all nodes not in ``keep_keys``, adding pred→succ bypass edges
+    where the in-label equals the out-label (relations.py:865-892).
+
+    Independent-batch rounds: per round, a removed node is processed only
+    if none of its removed neighbors hashes smaller; edges incident to the
+    processed batch are consumed, bypass edges join the live set.
+    """
+    spark = nodes.sparkSession
+    keep_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in sorted(keep_keys)], "lemma_key string")
+    )
+
+    cur_edges = edges
+    for _ in range(max_rounds):
+        removed = (
+            cur_edges.select(F.col("src").alias("lemma_key"))
+            .unionByName(cur_edges.select(F.col("dst").alias("lemma_key")))
+            .distinct()
+            .join(keep_df, "lemma_key", "left_anti")
+        )
+        if removed.isEmpty():
+            break
+        removed = removed.withColumn("h", F.xxhash64("lemma_key"))
+
+        # defer removed nodes adjacent (among current edges) to a
+        # smaller-hash removed node
+        r_src = removed.select(
+            F.col("lemma_key").alias("src"), F.col("h").alias("h_src")
+        )
+        r_dst = removed.select(
+            F.col("lemma_key").alias("dst"), F.col("h").alias("h_dst")
+        )
+        adj = (
+            cur_edges.join(r_src, "src").join(r_dst, "dst")
+            .select("src", "dst", "h_src", "h_dst")
+        )
+        losers = (
+            adj.filter(F.col("h_src") > F.col("h_dst"))
+            .select(F.col("src").alias("lemma_key"))
+            .unionByName(
+                adj.filter(F.col("h_dst") > F.col("h_src")).select(
+                    F.col("dst").alias("lemma_key")
+                )
+            )
+            # equal hashes on distinct keys: defer the lexically larger
+            .unionByName(
+                adj.filter(
+                    (F.col("h_src") == F.col("h_dst")) & (F.col("src") > F.col("dst"))
+                ).select(F.col("src").alias("lemma_key"))
+            )
+            .unionByName(
+                adj.filter(
+                    (F.col("h_dst") == F.col("h_src")) & (F.col("dst") > F.col("src"))
+                ).select(F.col("dst").alias("lemma_key"))
+            )
+            .distinct()
+        )
+        batch = removed.select("lemma_key").join(losers, "lemma_key", "left_anti")
+        batch = F.broadcast(batch)
+
+        b_in = cur_edges.join(
+            batch.withColumnRenamed("lemma_key", "dst"), "dst"
+        ).select(
+            F.col("dst").alias("mid"),
+            F.col("src").alias("pred"),
+            F.col("label").alias("in_label"),
+        )
+        b_out = cur_edges.join(
+            batch.withColumnRenamed("lemma_key", "src"), "src"
+        ).select(
+            F.col("src").alias("mid"),
+            F.col("dst").alias("succ"),
+            F.col("label").alias("out_label"),
+            "edge_key",
+            "weight",
+            "lemmas",
+            "deprel",
+            "descriptions",
+            "clusters",
+        )
+        bypass = (
+            b_in.join(b_out, "mid")
+            .filter(F.col("in_label") == F.col("out_label"))
+            .select(
+                F.col("pred").alias("src"),
+                F.col("succ").alias("dst"),
+                "edge_key",
+                "weight",
+                F.col("out_label").alias("label"),
+                "lemmas",
+                "deprel",
+                "descriptions",
+                "clusters",
+            )
+        )
+        untouched = (
+            cur_edges.join(batch.withColumnRenamed("lemma_key", "src"), "src", "left_anti")
+            .join(batch.withColumnRenamed("lemma_key", "dst"), "dst", "left_anti")
+        )
+        cur_edges = (
+            untouched.select(bypass.columns)
+            .unionByName(bypass)
+            .groupBy("src", "dst", "edge_key")
+            .agg(
+                F.sum("weight").alias("weight"),
+                F.min("label").alias("label"),
+                F.min("lemmas").alias("lemmas"),
+                F.min("deprel").alias("deprel"),
+                F.array_distinct(F.flatten(F.collect_list("descriptions"))).alias(
+                    "descriptions"
+                ),
+                F.array_distinct(F.flatten(F.collect_list("clusters"))).alias(
+                    "clusters"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    new_nodes = nodes.join(keep_df, "lemma_key", "left_semi")
+    return new_nodes, cur_edges
+
+
+def filter_nodes(
+    nodes: DataFrame,
+    edges: DataFrame,
+    entities_limit: Optional[int],
+) -> Tuple[DataFrame, DataFrame]:
+    """The reference's filter_nodes: keep the refined top-K, bypass the rest."""
+    if entities_limit is None:
+        return nodes, edges
+    keep = find_nodes_to_keep(nodes, edges, entities_limit)
+    return bypass_and_drop(nodes, edges, keep)

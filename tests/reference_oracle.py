@@ -166,3 +166,73 @@ def reference_triples(tokens, stopwords=(), additional=True, text=None):
         )
         for t in sr._reltuples
     ]
+
+
+class _FakeSent:
+    def __init__(self, text):
+        self._t = text
+
+    def getText(self):
+        return self._t
+
+
+class _FakeSentenceReltuples:
+    """Duck-typed SentenceReltuples: iterable of Reltuple + .sentence."""
+
+    def __init__(self, sent_text, reltuples):
+        self.sentence = _FakeSent(sent_text)
+        self._r = list(reltuples)
+
+    def __iter__(self):
+        return iter(self._r)
+
+
+def make_reltuple(left, relation, right, right_deprel="obj",
+                  left_vec=None, right_vec=None, dim=8):
+    """Build a reference Reltuple; lemmas default to the surface forms."""
+    import numpy as np
+
+    relations = load_reference_relations()
+    z = np.zeros(dim)
+    return relations.Reltuple(
+        left, left, np.asarray(left_vec) if left_vec is not None else z,
+        relation, relation,
+        right, right,
+        right_deprel,
+        np.asarray(right_vec) if right_vec is not None else z,
+    )
+
+
+def build_reference_graph(sentences):
+    """sentences: list of (sent_text, cluster, [Reltuple,...]) → RelGraph
+    after add_sentence_reltuples for each sentence."""
+    relations = load_reference_relations()
+    g = relations.RelGraph()
+    for sent_text, cluster, tuples in sentences:
+        g.add_sentence_reltuples(
+            _FakeSentenceReltuples(sent_text, tuples), cluster=cluster
+        )
+    return g
+
+
+def graph_snapshot(g):
+    """RelGraph → (nodes dict, edges dict) with " | " sets exploded, for
+    comparison against our DataFrame tables."""
+    nx_g = g._graph
+    nodes = {}
+    for n, a in nx_g.nodes(data=True):
+        nodes[n] = {
+            "label_parts": a["label"].split(" | ") if a.get("label") else [],
+            "weight": a["weight"],
+            "descriptions": set(a["description"].split(" | ")),
+            "clusters": {int(x) for x in a["feat_type"].split(" | ")},
+        }
+    edges = {}
+    for s, t, k, a in nx_g.edges(keys=True, data=True):
+        edges[(s, t, k)] = {
+            "label_parts": set(a["label"].split(" | ")),
+            "weight": a["weight"],
+            "descriptions": set(a["description"].split(" | ")),
+            "clusters": {int(x) for x in a["feat_type"].split(" | ")},
+        }
+    return nodes, edges

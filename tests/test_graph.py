@@ -1,0 +1,263 @@
+"""Graph aggregation + canonicalization + top-K tests vs the reference's
+RelGraph executed live (real networkx). Fixtures follow FIXTURES.md §6."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openie_spark.graph import aggregate_edges, aggregate_nodes, with_degrees
+from openie_spark.merge import MergeConfig, merge_fixpoint
+from openie_spark.topk import filter_nodes, find_nodes_to_keep
+
+from .reference_oracle import (
+    build_reference_graph,
+    graph_snapshot,
+    make_reltuple,
+    reference_available,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference not present"
+)
+
+TRIPLE_COLS = (
+    "url string, sent_id int, sent_text string, left_arg string, "
+    "left_arg_lemmas string, relation string, relation_lemmas string, "
+    "right_arg string, right_arg_lemmas string, right_deprel string, "
+    "left_vec array<float>, right_vec array<float>, cluster int"
+)
+
+DIM = 8
+V_BASE = np.ones(DIM) / np.sqrt(DIM)
+V_NEAR = (V_BASE + 0.05 * np.eye(DIM)[0]) / np.linalg.norm(V_BASE + 0.05 * np.eye(DIM)[0])
+V_FAR = np.eye(DIM)[1]  # cosine vs V_BASE ≈ 0.35 dist > 0.3
+V_ZERO = np.zeros(DIM)
+
+
+def triples_df_from(spark, rows):
+    """rows: (url, sent_id, sent_text, l, rel, r, deprel, lv, rv, cluster)"""
+    data = [
+        (
+            u, sid, st, l, l, rel, rel, r, r, dep,
+            [float(x) for x in lv], [float(x) for x in rv], c,
+        )
+        for (u, sid, st, l, rel, r, dep, lv, rv, c) in rows
+    ]
+    return spark.createDataFrame(data, TRIPLE_COLS)
+
+
+def our_snapshot(nodes_df, edges_df):
+    nodes = {}
+    for r in nodes_df.collect():
+        nodes[r["lemma_key"]] = {
+            "label_parts": r["label"].split(" | "),
+            "weight": r["weight"],
+            "descriptions": set(r["descriptions"]),
+            "clusters": set(r["clusters"]),
+        }
+    edges = {}
+    for r in edges_df.collect():
+        edges[(r["src"], r["dst"], r["edge_key"])] = {
+            "label_parts": set(r["label"].split(" | ")),
+            "weight": r["weight"],
+            "descriptions": set(r["descriptions"]),
+            "clusters": set(r["clusters"]),
+        }
+    return nodes, edges
+
+
+def ref_snapshot_from(rows, merge=False, entities_limit=None):
+    """Build + optionally canonicalize the reference graph from the same rows."""
+    by_sent = {}
+    for (u, sid, st, l, rel, r, dep, lv, rv, c) in rows:
+        by_sent.setdefault((u, sid, st, c), []).append(
+            make_reltuple(l, rel, r, right_deprel=dep, left_vec=lv, right_vec=rv, dim=DIM)
+        )
+    sentences = [
+        (st, c, tuples) for (u, sid, st, c), tuples in sorted(by_sent.items())
+    ]
+    g = build_reference_graph(sentences)
+    if merge:
+        g.merge_relations()
+    if entities_limit is not None:
+        g.filter_nodes(entities_limit)
+    return graph_snapshot(g)
+
+
+# ---- fixtures ---------------------------------------------------------------
+
+MERGE_POSITIVE = [
+    # government --signed--> {contract(w2, near base), agreement(near), moon(far)}
+    ("u1", 0, "s1", "government", "signed", "contract", "obj", V_BASE, V_BASE, 0),
+    ("u1", 1, "s2", "government", "signed", "contract", "obj", V_BASE, V_BASE, 0),
+    ("u2", 0, "s3", "government", "signed", "agreement", "obj", V_BASE, V_NEAR, 0),
+    ("u3", 0, "s4", "government", "signed", "moon", "obj", V_BASE, V_FAR, 0),
+]
+
+EDGE_MERGE = [
+    ("u1", 0, "s1", "government", "signed", "contract", "obj", V_ZERO, V_ZERO, 0),
+    ("u2", 0, "s2", "government", "approved", "contract", "obj", V_ZERO, V_ZERO, 0),
+]
+
+CLUSTER_GATE = [
+    ("u1", 0, "s1", "government", "signed", "contract", "obj", V_BASE, V_BASE, 0),
+    ("u2", 0, "s2", "government", "signed", "agreement", "obj", V_BASE, V_BASE, 1),
+]
+
+
+def _agg(spark, rows, salted=True):
+    tdf = triples_df_from(spark, rows)
+    return aggregate_nodes(tdf, salted=salted), aggregate_edges(tdf, salted=salted)
+
+
+def test_aggregation_matches_reference(spark):
+    nodes, edges = _agg(spark, MERGE_POSITIVE)
+    ref_nodes, ref_edges = ref_snapshot_from(MERGE_POSITIVE)
+    got_nodes, got_edges = our_snapshot(nodes, edges)
+    assert {k: v["weight"] for k, v in got_nodes.items()} == {
+        k: v["weight"] for k, v in ref_nodes.items()
+    }
+    assert {k: v["weight"] for k, v in got_edges.items()} == {
+        k: v["weight"] for k, v in ref_edges.items()
+    }
+    for k in ref_nodes:
+        assert got_nodes[k]["descriptions"] == ref_nodes[k]["descriptions"]
+        assert got_nodes[k]["clusters"] == ref_nodes[k]["clusters"]
+
+
+def test_salted_equals_unsalted(spark):
+    n1, e1 = _agg(spark, MERGE_POSITIVE, salted=True)
+    n2, e2 = _agg(spark, MERGE_POSITIVE, salted=False)
+    s1, t1 = our_snapshot(n1, e1)
+    s2, t2 = our_snapshot(n2, e2)
+    assert s1 == s2
+    assert t1 == t2
+
+
+def test_degrees(spark):
+    nodes, edges = _agg(spark, MERGE_POSITIVE)
+    nd = with_degrees(nodes, edges)
+    rows = {r["lemma_key"]: r for r in nd.collect()}
+    assert rows["government"]["degree_out"] == 3
+    assert rows["government"]["degree_in"] == 0
+    assert rows["contract"]["degree_in"] == 1
+    assert rows["contract"]["in_weight"] == 2
+
+
+def test_merge_positive_matches_reference(spark):
+    nodes, edges = _agg(spark, MERGE_POSITIVE)
+    m_nodes, m_edges, _ = merge_fixpoint(nodes, edges, MergeConfig())
+    ref_nodes, ref_edges = ref_snapshot_from(MERGE_POSITIVE, merge=True)
+    got_nodes, got_edges = our_snapshot(m_nodes, m_edges)
+    # agreement absorbed into contract; moon survives
+    assert set(got_nodes) == set(ref_nodes)
+    assert "agreement" not in got_nodes
+    assert set(got_nodes["contract"]["label_parts"]) == set(
+        ref_nodes["contract"]["label_parts"]
+    )
+    assert got_nodes["contract"]["weight"] == ref_nodes["contract"]["weight"]
+    assert set(got_edges) == set(ref_edges)
+    # DELTA (documented, SURVEY.md §2.8 G3): government→agreement was an
+    # *in-edge* of the absorbed node; the reference silently drops it (dead
+    # elif, relations.py:732) leaving weight 2 — we re-point it, weight 3.
+    key = ("government", "contract", "signed + obj")
+    assert ref_edges[key]["weight"] == 2
+    assert got_edges[key]["weight"] == 3
+
+
+def test_merge_positive_strict_parity(spark):
+    """strict_parity=True reproduces the reference's in-edge drop exactly."""
+    nodes, edges = _agg(spark, MERGE_POSITIVE)
+    m_nodes, m_edges, _ = merge_fixpoint(
+        nodes, edges, MergeConfig(strict_parity=True)
+    )
+    ref_nodes, ref_edges = ref_snapshot_from(MERGE_POSITIVE, merge=True)
+    got_nodes, got_edges = our_snapshot(m_nodes, m_edges)
+    assert set(got_nodes) == set(ref_nodes)
+    assert set(got_edges) == set(ref_edges)
+    for k in ref_edges:
+        assert got_edges[k]["weight"] == ref_edges[k]["weight"], k
+        assert got_edges[k]["descriptions"] == ref_edges[k]["descriptions"], k
+
+
+def _norm_key(key):
+    """The reference's merged key joins a Python *set* — part order is
+    process-nondeterministic (hash randomization). Normalize each ' + '
+    segment's ' | ' parts to sorted order before comparing."""
+    if " + " not in key:
+        return key
+    head, _, tail = key.rpartition(" + ")
+    return " | ".join(sorted(head.split(" | "))) + " + " + " | ".join(
+        sorted(tail.split(" | "))
+    )
+
+
+def test_edge_merge_matches_reference(spark):
+    nodes, edges = _agg(spark, EDGE_MERGE)
+    m_nodes, m_edges, _ = merge_fixpoint(nodes, edges, MergeConfig())
+    ref_nodes, ref_edges = ref_snapshot_from(EDGE_MERGE, merge=True)
+    got_nodes, got_edges = our_snapshot(m_nodes, m_edges)
+    assert {(s, t, _norm_key(k)) for s, t, k in got_edges} == {
+        (s, t, _norm_key(k)) for s, t, k in ref_edges
+    }
+    ((key, attrs),) = got_edges.items()
+    ((rkey, rattrs),) = ref_edges.items()
+    assert attrs["label_parts"] == rattrs["label_parts"] == {"signed", "approved"}
+    assert attrs["weight"] == rattrs["weight"] == 2
+
+
+def test_cluster_gate_parity(spark):
+    """The reference's cluster gate tests ANCHOR ∩ candidate — and the anchor
+    always shares the cluster of the sentence that created the edge, so two
+    same-vector candidates in different clusters still merge through a
+    two-cluster anchor (verified against the live reference here). Parity,
+    not blocking, is the correct assertion."""
+    nodes, edges = _agg(spark, CLUSTER_GATE)
+    m_nodes, m_edges, _ = merge_fixpoint(nodes, edges, MergeConfig())
+    ref_nodes, _ = ref_snapshot_from(CLUSTER_GATE, merge=True)
+    got_nodes, _ = our_snapshot(m_nodes, m_edges)
+    assert set(got_nodes) == set(ref_nodes)
+    assert "agreement" not in ref_nodes  # the reference merges it too
+
+
+def test_topk_chain(spark):
+    # chain a->b->c->d weights via occurrence counts 2,3,2,1 (FIXTURES §6)
+    rows = []
+    sid = 0
+    def add(l, r, times):
+        nonlocal sid
+        for _ in range(times):
+            rows.append((f"u{sid}", 0, f"s{sid}", l, "rel", r, "obj", V_ZERO, V_ZERO, 0))
+            sid += 1
+    add("a", "b", 2)   # a:2, b:2
+    add("b", "c", 1)   # b:3, c:1
+    add("c", "d", 1)   # c:2, d:1
+    nodes, edges = _agg(spark, rows)
+    keep = find_nodes_to_keep(nodes, edges, 2)
+    assert keep == {"b", "c"}
+    f_nodes, f_edges = filter_nodes(nodes, edges, 2)
+    kept = {r["lemma_key"] for r in f_nodes.collect()}
+    assert kept == {"b", "c"}
+    # surviving edges only between kept nodes
+    for r in f_edges.collect():
+        assert r["src"] in kept and r["dst"] in kept
+
+
+def test_bypass_label_chain(spark):
+    # a -r-> x -r-> b with x removed: bypass creates a -r-> b
+    rows = [
+        ("u1", 0, "s1", "a", "rel", "x", "obj", V_ZERO, V_ZERO, 0),
+        ("u2", 0, "s2", "x", "rel", "b", "obj", V_ZERO, V_ZERO, 0),
+        ("u3", 0, "s3", "a", "rel2", "b", "obj", V_ZERO, V_ZERO, 0),
+        ("u4", 0, "s4", "a", "rel2", "b", "obj", V_ZERO, V_ZERO, 0),
+    ]
+    nodes, edges = _agg(spark, rows)
+    from openie_spark.topk import bypass_and_drop
+
+    f_nodes, f_edges = bypass_and_drop(nodes, edges, {"a", "b"})
+    got = {(r["src"], r["dst"], r["edge_key"]): r["weight"] for r in f_edges.collect()}
+    assert ("a", "b", "rel + obj") in got
+    assert got[("a", "b", "rel + obj")] == 1
+    assert got[("a", "b", "rel2 + obj")] == 2
