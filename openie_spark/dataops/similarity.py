@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k against a probe vector. The dot
+  product is a JVM-side ``aggregate(zip_with(...))`` — no Python in the
+  scan — and top-k is a single ``orderBy().limit()`` which Spark executes
+  as per-partition partial top-k + driver merge (TakeOrderedAndProject), so
+  it scales linearly with no full sort.
+- ``hyperplane_buckets`` + ``lsh_topk``: the scale path — random-hyperplane
+  (sign) LSH. Bucketing prunes the scan to candidates sharing a signature
+  prefix; planes are a broadcast numpy matrix applied in one Arrow-batched
+  pandas UDF (matmul per batch, not per row).
+- ``ivf_topk``: IVF-style — a pyspark.ml KMeans coarse quantizer assigns
+  each vector to a centroid; probes search only the ``n_probe`` nearest
+  centroid cells. The index (centroids) is tiny and broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..merge import cosine_distance_col
+
+
+def cosine_sim_col(vec_col: str, probe: Sequence[float]) -> F.Column:
+    probe_col = F.array(*[F.lit(float(x)) for x in probe])
+    return F.lit(1.0) - cosine_distance_col(F.col(vec_col), probe_col)
+
+
+def brute_force_topk(
+    emb_df: DataFrame,
+    probe: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (id, cosine) ordered desc, deterministic
+    tie-break on id."""
+    return (
+        emb_df.select(
+            F.col(id_col), cosine_sim_col(vec_col, probe).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_buckets(
+    emb_df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: sign-pattern of ``n_planes`` random
+    hyperplane projections (one Arrow matmul per batch)."""
+    from pyspark.sql.types import LongType
+
+    planes = np.random.RandomState(seed).randn(dim, n_planes).astype(np.float64)
+    spark = emb_df.sparkSession
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    @F.pandas_udf(LongType())
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        P = b_planes.value
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs.tolist()])
+        if M.size == 0:
+            return pd.Series([], dtype="int64")
+        signs = (M @ P) > 0
+        powers = 1 << np.arange(P.shape[1], dtype=np.int64)
+        return pd.Series((signs @ powers).astype(np.int64))
+
+    return emb_df.withColumn("bucket", bucket_udf(F.col(vec_col)))
+
+
+def lsh_topk(
+    emb_df: DataFrame,
+    probe: Sequence[float],
+    k: int = 10,
+    dim: Optional[int] = None,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only vectors whose hyperplane signature is
+    within ``multiprobe_bits`` bit-flips of the probe's bucket."""
+    dim = dim or len(probe)
+    bucketed = hyperplane_buckets(
+        emb_df, dim, n_planes=n_planes, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    planes = np.random.RandomState(seed).randn(dim, n_planes)
+    sig = int(
+        ((np.asarray(probe, dtype=np.float64) @ planes) > 0)
+        @ (1 << np.arange(n_planes, dtype=np.int64))
+    )
+    probes: List[int] = [sig]
+    if multiprobe_bits >= 1:
+        probes += [sig ^ (1 << i) for i in range(n_planes)]
+    if multiprobe_bits >= 2:
+        probes += [
+            sig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    cand = bucketed.filter(F.col("bucket").isin(probes))
+    return brute_force_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_topk(
+    emb_df: DataFrame,
+    probe: Sequence[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF: KMeans-cell inverted index, probe the n_probe nearest cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = emb_df.withColumn("features", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(vdf)
+    assigned = model.transform(vdf).drop("features")
+
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+    p = np.asarray(probe, dtype=np.float64)
+    d = ((centers - p) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d)[:n_probe]]
+
+    cand = assigned.filter(F.col("cell").isin(cells))
+    return brute_force_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)

@@ -1,0 +1,131 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Everything here is a pure JVM-side column expression (regexp + arithmetic),
+deliberately: these run over every document of a 100 TB corpus, so they
+must stay inside whole-stage codegen. Each has an exactly-equivalent ANSI
+SQL form used as its DuckDB oracle in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# tiny high-frequency function-word lists; the heuristic is hit-count argmax
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|in|is|was|for|with|that)\b",
+    "es": r"\b(el|la|los|las|de|que|y|en|un|una|por)\b",
+    "ru": r"\b(и|в|не|на|что|с|по|как|это|был)\b",
+    "de": r"\b(der|die|das|und|ist|von|mit|den|für|nicht)\b",
+}
+LANG_ORDER = ["en", "es", "ru", "de"]  # deterministic tie order
+
+
+def token_count(text_col: str = "text") -> F.Column:
+    """Whitespace token count (0 for empty)."""
+    t = F.trim(F.col(text_col))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text_col: str = "text") -> F.Column:
+    """Subword-ish token count: alnum runs and single non-space symbols —
+    a deterministic stand-in for BPE vocab tokenization."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-zА-Яа-я0-9]+|[^\sA-Za-zА-Яа-я0-9]"), 0)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features: length, token stats, punct / digit /
+    uppercase ratios, stopword ratio (en), mean word length."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = token_count(text_col)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[\.,;:!\?]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-ZА-Я]"), 0))
+    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(LANG_MARKERS["en"]), 0))
+    return df.withColumns(
+        {
+            "n_chars": n_chars,
+            "n_tokens": toks,
+            "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+            "digit_ratio": F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)),
+            "upper_ratio": F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0)),
+            "stopword_ratio": F.when(toks > 0, n_stop / toks).otherwise(F.lit(0.0)),
+            "mean_word_len": F.when(toks > 0, (n_chars - toks + 1) / toks).otherwise(
+                F.lit(0.0)
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0, 1]: length sweet spot, low punct/digit
+    noise, healthy stopword density. Deterministic, monotone pieces."""
+    qf = quality_features(df, text_col)
+    length_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    noise_penalty = F.greatest(
+        F.lit(0.0),
+        F.lit(1.0) - 2.0 * F.col("punct_ratio") - 2.0 * F.col("digit_ratio"),
+    )
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    return qf.withColumn(
+        "quality",
+        F.round((length_score + noise_penalty + stop_score) / 3.0, 6),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts, ties broken
+    by LANG_ORDER; 'und' when no marker hits at all."""
+    t = F.lower(F.col(text_col))
+    hits = {
+        lang: F.size(F.regexp_extract_all(t, F.lit(rx), 0))
+        for lang, rx in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[hits[l] for l in LANG_ORDER])
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # earlier languages win ties
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    out = df.withColumn("lang_pred", expr)
+    for lang in LANG_ORDER:
+        out = out.withColumn(f"hits_{lang}", hits[lang])
+    return out
+
+
+def content_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact content fingerprint: md5 over normalized text (ANSI-portable)."""
+    return df.withColumn("fingerprint", F.md5(normalized_text(text_col)))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints: per doc, the set of window
+    minima over k-gram hashes — the standard near-copy detection sketch.
+    JVM-side: k-gram shingles → hash → sliding-window min via transform."""
+    from .dedup import word_shingles
+
+    toks = F.split(normalized_text(text_col), " ")
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    n_windows = F.greatest(F.size(kgrams) - window + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda w: F.array_min(F.slice(kgrams, w + 1, window)),
+    )
+    return df.select(
+        F.col(id_col), F.array_distinct(mins).alias("fingerprints")
+    )

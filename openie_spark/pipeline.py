@@ -1,0 +1,161 @@
+"""End-to-end pipeline orchestration.
+
+Stage graph (SURVEY.md §3, Spark lifecycle):
+
+    pages ──lang filter──▶ clean (UDF, narrow)
+          ──▶ parse (mapInPandas, narrow)          [checkpoint: parses]
+          ──▶ extract (mapInPandas, narrow)        [checkpoint: triples]
+          ──▶ sentence vectors → KMeans sweep      [shuffle: ML fit]
+          ──▶ cluster join (equi-join on sentence key)
+          ──▶ node/edge salted aggregation         [shuffle, checkpoints]
+          ──▶ merge fixpoint (driver loop)         [checkpoints per result]
+          ──▶ top-K filter + bypass
+          ──▶ nodes/edges partitioned writes
+
+Every boundary materializes through the StageLedger when a work_dir is
+configured — that is the checkpoint-resume contract; without a work_dir the
+pipeline runs fully lazy (tests, benchmarks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .clustering import cluster_sentences, sentence_vectors, with_clusters
+from .corpus import STOPWORDS_FIXTURE
+from .extract import extract_triples_df, ok_triples
+from .graph import aggregate_edges, aggregate_nodes, with_degrees
+from .lineage import StageLedger
+from .merge import MergeConfig, merge_fixpoint
+from .parse import PageParser, parse_pages, template_parse_page
+from .textclean import clean_pages
+from .topk import filter_nodes
+
+
+@dataclass
+class PipelineConfig:
+    lang: Optional[str] = "ru"
+    stopwords: tuple = tuple(STOPWORDS_FIXTURE)
+    additional_relations: bool = True
+    entities_limit: Optional[int] = 10000  # reference default, instance/config.json:5
+    dim: int = 64
+    seed: int = 42
+    salted: bool = True
+    n_salts: int = 8
+    strict_parity: bool = False
+    skip_clustering: bool = False  # sandbox corpora are usually < MIN_CLUSTER_SIZE·2
+    skip_merge: bool = False
+    work_dir: Optional[str] = None
+    max_descriptions: Optional[int] = None
+
+    def fingerprint(self) -> str:
+        return (
+            f"lang={self.lang};stop={hash(self.stopwords)};add={self.additional_relations};"
+            f"limit={self.entities_limit};dim={self.dim};seed={self.seed};"
+            f"salted={self.salted};strict={self.strict_parity};"
+            f"skip_c={self.skip_clustering};skip_m={self.skip_merge}"
+        )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: Optional[PipelineConfig] = None,
+    embedding_dict: Optional[Dict[str, np.ndarray]] = None,
+    page_parser: PageParser = template_parse_page,
+    input_fingerprint: str = "",
+) -> Dict[str, DataFrame]:
+    """Run clean→parse→extract→cluster→aggregate→merge→filter; returns all
+    stage DataFrames keyed by stage name."""
+    cfg = cfg or PipelineConfig()
+    fp = cfg.fingerprint() + "|" + input_fingerprint
+    ledger = StageLedger(spark, cfg.work_dir) if cfg.work_dir else None
+
+    def stage(name: str, build, partition_by=None) -> DataFrame:
+        if ledger is None:
+            return build()
+        return ledger.run_stage(name, fp, build, partition_by=partition_by)
+
+    out: Dict[str, DataFrame] = {}
+
+    cleaned = stage("clean", lambda: clean_pages(pages, lang=cfg.lang))
+    out["clean"] = cleaned
+
+    parses = stage("parses", lambda: parse_pages(cleaned, page_parser))
+    out["parses"] = parses
+
+    triples_all = stage(
+        "triples",
+        lambda: extract_triples_df(
+            parses,
+            frozenset(cfg.stopwords),
+            embedding_dict=embedding_dict,
+            dim=cfg.dim,
+            additional_relations=cfg.additional_relations,
+        ),
+    )
+    out["triples_raw"] = triples_all
+    triples = ok_triples(triples_all)
+    out["triples"] = triples
+
+    if cfg.skip_clustering:
+        clusters = triples.select("url", "sent_id").distinct().withColumn(
+            "cluster", F.lit(0)
+        )
+    else:
+        clusters = stage(
+            "clusters",
+            lambda: cluster_sentences(sentence_vectors(triples), seed=cfg.seed),
+        )
+    out["clusters"] = clusters
+
+    labeled = with_clusters(triples, clusters)
+    out["triples_clustered"] = labeled
+
+    nodes = stage(
+        "nodes_raw",
+        lambda: aggregate_nodes(
+            labeled,
+            n_salts=cfg.n_salts,
+            salted=cfg.salted,
+            max_descriptions=cfg.max_descriptions,
+        ),
+    )
+    edges = stage(
+        "edges_raw",
+        lambda: aggregate_edges(
+            labeled,
+            n_salts=cfg.n_salts,
+            salted=cfg.salted,
+            max_descriptions=cfg.max_descriptions,
+        ),
+    )
+
+    if not cfg.skip_merge:
+        mcfg = MergeConfig(strict_parity=cfg.strict_parity, n_salts=cfg.n_salts)
+        if (
+            ledger is not None
+            and ledger.completed("nodes_merged", fp)
+            and ledger.completed("edges_merged", fp)
+        ):
+            nodes, edges = ledger.read("nodes_merged"), ledger.read("edges_merged")
+        else:
+            m_nodes, m_edges, _ = merge_fixpoint(nodes, edges, mcfg)
+            if ledger is not None:
+                nodes = ledger.run_stage("nodes_merged", fp, lambda: m_nodes)
+                edges = ledger.run_stage("edges_merged", fp, lambda: m_edges)
+            else:
+                nodes, edges = m_nodes, m_edges
+
+    if cfg.entities_limit is not None:
+        nodes, edges = filter_nodes(nodes, edges, cfg.entities_limit)
+
+    nodes = with_degrees(nodes, edges)
+    out["nodes"] = stage("nodes", lambda: nodes)
+    out["edges"] = stage("edges", lambda: edges)
+    return out

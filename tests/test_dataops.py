@@ -1,0 +1,194 @@
+"""Tests for the training-data operators (dedup / similarity / textstats /
+multimodal) on the driver-provided testdata tables plus planted fixtures."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+HAVE_TESTDATA = Path(SF_DIR).exists()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    if not HAVE_TESTDATA:
+        pytest.skip("testdata not present")
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not HAVE_TESTDATA:
+        pytest.skip("testdata not present")
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_plants_duplicates(spark):
+    from openie_spark.dataops.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other text"), (4, "HELLO\tWORLD")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(df).collect()}
+    assert out == {1: 3, 3: 1}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from openie_spark.dataops.dedup import minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark dataframes and shuffle partitions at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, n_hashes=32, bands=8
+        ).collect()
+    }
+    assert (1, 4) in pairs       # identical
+    assert (1, 2) in pairs       # near-dup
+    assert not any(3 in p for p in pairs)
+
+
+def test_simhash_neardup(spark):
+    from openie_spark.dataops.dedup import simhash_neardup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    near = base.replace("delta", "delte", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, "unrelated words entirely here now")],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_neardup_pairs(df, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in k for k in pairs)
+
+
+def test_ngram_jaccard_pairs(spark):
+    from openie_spark.dataops.dedup import ngram_jaccard_pairs
+
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"
+    df = spark.createDataFrame(
+        [(1, a, "s"), (2, b, "s"), (3, "zz yy xx ww vv uu tt ss", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           ngram_jaccard_pairs(df, threshold=0.4, blocking_col="source").collect()}
+    assert (1, 2) in out
+    assert out[(1, 2)] > 0.5
+    assert not any(3 in k for k in out)
+
+
+def test_brute_force_vs_lsh_and_ivf(spark, emb):
+    from openie_spark.dataops.similarity import brute_force_topk, ivf_topk, lsh_topk
+
+    probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = [r["vec_id"] for r in brute_force_topk(emb, probe, k=10).collect()]
+    assert exact[0] == 0  # self-match first
+    # on uniform-random vectors LSH recall is inherently weak; the planted
+    # test below measures recall — here just check the self-bucket hit
+    approx = [r["vec_id"] for r in lsh_topk(emb, probe, k=10, multiprobe_bits=2).collect()]
+    assert approx and approx[0] == 0
+    ivf = [r["vec_id"] for r in ivf_topk(emb, probe, k=10, n_cells=8, n_probe=4).collect()]
+    assert ivf and ivf[0] == 0
+
+
+def test_lsh_recall_on_planted_neighbors(spark):
+    from openie_spark.dataops.similarity import brute_force_topk, lsh_topk
+
+    rs = np.random.RandomState(0)
+    base = rs.randn(16)
+    base /= np.linalg.norm(base)
+    rows = []
+    for i in range(10):  # planted near-neighbors of the probe
+        v = base + rs.randn(16) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    for i in range(10, 300):  # background noise
+        v = rs.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probe = [float(x) for x in base]
+    exact = [r["vec_id"] for r in brute_force_topk(df, probe, k=10).collect()]
+    assert set(exact) == set(range(10))
+    approx = [
+        r["vec_id"]
+        for r in lsh_topk(df, probe, k=10, n_planes=10, multiprobe_bits=2).collect()
+    ]
+    assert len(set(approx) & set(range(10))) >= 8  # ≥0.8 recall on planted
+
+
+def test_embedding_neardup_selfpairs(spark):
+    from openie_spark.dataops.dedup import embedding_neardup_pairs
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.999, 0.01, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v, 0), (2, v2, 0), (3, w, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(df).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_textstats_on_documents(spark, docs):
+    from openie_spark.dataops.textstats import (
+        content_fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+        winnowing_fingerprints,
+    )
+
+    out = quality_score(docs.limit(50))
+    rows = out.select("doc_id", "n_tokens", "quality").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    tc = docs.limit(20).select(token_count().alias("tc")).collect()
+    assert all(r["tc"] > 0 for r in tc)
+
+    lid = lang_id(docs.limit(50)).select("lang_pred").distinct().collect()
+    assert {r["lang_pred"] for r in lid} <= {"en", "es", "ru", "de", "und"}
+
+    fp = content_fingerprint(docs.limit(10)).select("fingerprint").collect()
+    assert all(len(r["fingerprint"]) == 32 for r in fp)
+
+    wf = winnowing_fingerprints(docs.limit(10)).collect()
+    assert all(len(r["fingerprints"]) > 0 for r in wf)
+
+
+def test_multimodal_plumbing(spark):
+    from openie_spark.dataops.multimodal import (
+        decode_media,
+        frame_sample_plan,
+        synthetic_media_df,
+    )
+
+    media = synthetic_media_df(spark, n=20)
+    decoded = decode_media(media, decoder="fake", feat_dim=8)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    assert all(r["decode_error"] is None for r in rows)
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = decode_media(media, decoder="fake", feat_dim=8).collect()
+    assert {r["media_id"]: r["features"] for r in rows} == {
+        r["media_id"]: r["features"] for r in again
+    }
+    frames = frame_sample_plan(decoded, every_n=1)
+    assert frames.count() >= 20
+    # the real-decoder seam is explicit
+    import pytest as _pytest
+
+    from openie_spark.dataops.multimodal import _decode_image_real
+
+    with _pytest.raises(NotImplementedError):
+        _decode_image_real(b"x")
