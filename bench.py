@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline KG-pipeline throughput + generic operator
+timings at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "triples_per_sec": ..., "pages_per_sec": ...}
+
+Methodology: every stage is forced through the noop sink (full column
+materialization — count() would let Catalyst prune work); session warmup
+excluded from timings; the KG corpus is deterministic so runs are
+comparable across rounds. Scaling evidence (N vs 4N cores) lives in
+bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
+
+def _warm_python_workers(spark) -> None:
+    """Spin up the per-core Python UDF workers once (imports pandas/numpy)
+    so stage timings measure work, not interpreter cold start."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    n = spark.sparkContext.defaultParallelism * 2
+    spark.range(n * 10, numPartitions=n).select(_noop("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+def force(df) -> int:
+    """Materialize every column (noop datasource sink)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from openie_spark.session import build_session
+
+    spark = build_session(app_name="openie-bench")
+    spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+    _warm_python_workers(spark)  # exclude Python-worker cold start from stages
+
+    from pyspark.sql import functions as F
+
+    from openie_spark.corpus import pages_df
+    from openie_spark.extract import extract_triples_df, ok_triples
+    from openie_spark.graph import aggregate_edges, aggregate_nodes, with_degrees
+    from openie_spark.parse import parse_pages
+    from openie_spark.pipeline import PipelineConfig
+    from openie_spark.textclean import clean_pages
+
+    times: dict = {}
+    meta: dict = {}
+
+    def bench(name: str, fn, repeat: int = 1):
+        best = None
+        result = None
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            result = fn()
+            dt = time.monotonic() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
+        return result
+
+    # ---- KG pipeline stages -------------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    n_pages = max(200, n_docs)
+    meta["n_pages"] = n_pages
+
+    pages = pages_df(spark, n_pages, seed=42, n_sents=6).cache()
+    n_rows = pages.count()  # materialize generation outside stage timings
+
+    cleaned = clean_pages(pages, lang="ru")
+    bench("kg_clean", lambda: force(cleaned))
+
+    parses = parse_pages(cleaned).cache()
+    bench("kg_parse", lambda: parses.count())
+    n_sentences = parses.count()
+
+    from openie_spark.corpus import STOPWORDS_FIXTURE
+
+    triples = ok_triples(
+        extract_triples_df(parses, frozenset(STOPWORDS_FIXTURE), with_vectors=True)
+    ).cache()
+    bench("kg_extract", lambda: triples.count())
+    n_triples = triples.count()
+    meta["n_sentences"] = n_sentences
+    meta["n_triples"] = n_triples
+
+    labeled = triples.withColumn("cluster", F.lit(0))
+    nodes = aggregate_nodes(labeled, max_descriptions=256, dim=64)
+    edges = aggregate_edges(labeled, max_descriptions=256)
+    bench("kg_graph", lambda: force(with_degrees(nodes, edges)))
+
+    # end-to-end wall for throughput: clean+parse+extract+graph
+    e2e = sum(times[k] for k in ("kg_clean", "kg_parse", "kg_extract", "kg_graph"))
+    meta["triples_per_sec"] = round(n_triples / e2e, 1) if e2e > 0 else None
+    meta["pages_per_sec"] = round(n_rows / e2e, 1) if e2e > 0 else None
+
+    # ---- generic / training-data operators ----------------------------------
+    from openie_spark.dataops.dedup import exact_dedup, minhash_lsh_pairs
+    from openie_spark.dataops.similarity import brute_force_topk, lsh_topk
+    from openie_spark.dataops.textstats import lang_id, quality_score
+
+    bench("exact_dedup", lambda: force(exact_dedup(docs)), repeat=2)
+    bench(
+        "minhash_dedup",
+        lambda: force(
+            minhash_lsh_pairs(docs, n_hashes=32, bands=8, jaccard_threshold=0.6)
+        ),
+    )
+    bench("lang_id", lambda: force(lang_id(docs).select("doc_id", "lang_pred")), repeat=2)
+    bench("quality", lambda: force(quality_score(docs).select("doc_id", "quality")), repeat=2)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb.count()
+    probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    bench("ann_brute", lambda: brute_force_topk(emb, probe, k=20).collect())
+    bench(
+        "ann_lsh",
+        lambda: lsh_topk(emb, probe, k=20, multiprobe_bits=1).collect(),
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bench(
+        "edge_aggregate",
+        lambda: force(
+            li.groupBy("l_suppkey", "l_partkey").agg(
+                F.count(F.lit(1)).alias("weight"),
+                F.sum("l_quantity").alias("qty"),
+            )
+        ),
+    )
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "kg_pipeline_plus_ops_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        **meta,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

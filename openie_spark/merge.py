@@ -59,6 +59,7 @@ class MergeConfig:
     max_group: int = 64  # cap candidates per (anchor, key) group
     strict_parity: bool = False  # reproduce the reference's in-edge drop
     n_salts: int = 8
+    dim: Optional[int] = None  # vector width; None → one-row peek
 
 
 def _dot(u: F.Column, v: F.Column) -> F.Column:
@@ -229,6 +230,9 @@ def apply_node_mapping(
     bmap = F.broadcast(mapping)
 
     # ---- nodes -------------------------------------------------------------
+    from .graph import _vector_dim
+
+    dim = cfg.dim if cfg.dim is not None else _vector_dim(nodes, "vector")
     n = nodes.join(
         bmap.withColumnRenamed("other", "lemma_key"), "lemma_key", "left"
     ).withColumn("is_main_row", F.col("main").isNull()).withColumn(
@@ -260,23 +264,24 @@ def apply_node_mapping(
         ).alias("label"),
         F.array_distinct(F.flatten(F.collect_list("descriptions"))).alias("descriptions"),
         F.array_distinct(F.flatten(F.collect_list("clusters"))).alias("clusters"),
-        F.aggregate(
-            F.collect_list(F.struct("weight", "vector")),
-            F.lit(None).cast("array<double>"),
-            lambda acc, s: F.when(acc.isNull(), F.transform(
-                s["vector"], lambda x: x.cast("double") * s["weight"]
-            )).otherwise(
-                F.zip_with(
-                    acc,
-                    s["vector"],
-                    lambda a, b: a + b.cast("double") * s["weight"],
-                )
-            ),
-        ).alias("vsum"),
+        # true weighted vector mean via codegen'd element-wise sums
+        # (documented delta vs the reference's (w·v_old + v_new)/2 quirk)
+        *[
+            F.sum(F.col("weight") * F.col("vector")[i].cast("double")).alias(f"_v{i}")
+            for i in range(dim)
+        ],
     )
-    merged_nodes = merged_nodes.withColumn(
-        "vector", F.transform("vsum", lambda x: (x / F.col("weight")).cast("float"))
-    ).drop("vsum")
+    if dim > 0:
+        merged_nodes = merged_nodes.withColumn(
+            "vector",
+            F.array(
+                *[(F.col(f"_v{i}") / F.col("weight")).cast("float") for i in range(dim)]
+            ),
+        ).drop(*[f"_v{i}" for i in range(dim)])
+    else:
+        merged_nodes = merged_nodes.withColumn(
+            "vector", F.lit(None).cast("array<float>")
+        )
 
     # ---- edges -------------------------------------------------------------
     e = edges.join(

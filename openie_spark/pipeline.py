@@ -124,6 +124,7 @@ def run_pipeline(
             n_salts=cfg.n_salts,
             salted=cfg.salted,
             max_descriptions=cfg.max_descriptions,
+            dim=cfg.dim,
         ),
     )
     edges = stage(
@@ -137,7 +138,7 @@ def run_pipeline(
     )
 
     if not cfg.skip_merge:
-        mcfg = MergeConfig(strict_parity=cfg.strict_parity, n_salts=cfg.n_salts)
+        mcfg = MergeConfig(strict_parity=cfg.strict_parity, n_salts=cfg.n_salts, dim=cfg.dim)
         if (
             ledger is not None
             and ledger.completed("nodes_merged", fp)
