@@ -83,10 +83,46 @@ PARTS = [("не", "не"), ("чтобы", "чтобы")]
 AUXS = [("был", "быть"), ("является", "являться")]
 CCONJS = [("и", "и"), ("но", "но")]
 
+# ---- long-tail vocabulary ---------------------------------------------------
+# A handful of hand-written words (above) forms the Zipf head; a generated
+# long tail gives the corpus realistic key cardinality. With only ~40 lemmas
+# the node/edge groupBys would have ~40 reduce keys — zero exploitable
+# parallelism and description sets in the millions per key at scale, which
+# is not what a web corpus looks like. Tail words are deterministic syllable
+# compositions (seed-free, index-addressed), disjoint from the head by the
+# trailing index syllableization.
+
+_SYLLABLES = [
+    "ба", "во", "га", "ди", "жу", "зе", "ки", "ло", "му", "ни",
+    "по", "ру", "се", "ти", "фа", "хо", "це", "ша", "эм", "ют",
+]
+
+
+def _tail_word(prefix: str, i: int) -> str:
+    parts = [prefix]
+    n = i
+    for _ in range(3):
+        parts.append(_SYLLABLES[n % len(_SYLLABLES)])
+        n //= len(_SYLLABLES)
+    return "".join(parts)
+
+
+N_TAIL_NOUNS = 800
+N_TAIL_PROPNS = 200
+N_TAIL_VERBS = 90
+
+TAIL_NOUNS = [(_tail_word("кр", i), _tail_word("кр", i)) for i in range(N_TAIL_NOUNS)]
+TAIL_PROPNS = [(_tail_word("пр", i), _tail_word("пр", i)) for i in range(N_TAIL_PROPNS)]
+TAIL_VERBS = [(_tail_word("гл", i), _tail_word("гл", i)) for i in range(N_TAIL_VERBS)]
+
+NOUNS_ALL = NOUNS + TAIL_NOUNS
+PROPNS_ALL = PROPNS + TAIL_PROPNS
+VERBS_ALL = VERBS + TAIL_VERBS
+
 _BY_UPOS = {
-    "NOUN": NOUNS,
-    "PROPN": PROPNS,
-    "VERB": VERBS,
+    "NOUN": NOUNS_ALL,
+    "PROPN": PROPNS_ALL,
+    "VERB": VERBS_ALL,
     "ADP": ADPS,
     "PART": PARTS,
     "AUX": AUXS,
@@ -96,6 +132,7 @@ _BY_UPOS = {
 LEXICON: dict = {}
 for _upos, _words in _BY_UPOS.items():
     for _form, _lemma in _words:
+        assert _form not in LEXICON, f"lexicon collision: {_form}"
         LEXICON[_form] = (_lemma, _upos)
 
 PATTERN_BY_UPOS_SEQ = {seq: spec for seq, spec in PATTERNS.items()}

@@ -45,7 +45,8 @@ class PipelineConfig:
     entities_limit: Optional[int] = 10000  # reference default, instance/config.json:5
     dim: int = 64
     seed: int = 42
-    salted: bool = True
+    salted: bool = True        # node aggregation (Zipfian lemma keys)
+    salt_edges: bool = False   # edge keys are ~unique per occurrence
     n_salts: int = 8
     strict_parity: bool = False
     skip_clustering: bool = False  # sandbox corpora are usually < MIN_CLUSTER_SIZE·2
@@ -132,7 +133,7 @@ def run_pipeline(
         lambda: aggregate_edges(
             labeled,
             n_salts=cfg.n_salts,
-            salted=cfg.salted,
+            salted=cfg.salt_edges,
             max_descriptions=cfg.max_descriptions,
         ),
     )

@@ -46,7 +46,11 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB: genuinely small dims (stopwords, merge mappings, cluster
+        # labels) still broadcast; accidental broadcasts of million-row
+        # degree/candidate tables — built single-threaded on the driver —
+        # do not (measured as the serial chunk of the graph phase)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,145 @@
+"""Streaming lift + sink tests: streaming triples must equal the batch
+pipeline's triples on the same pages; sinks round-trip."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
+from openie_spark.extract import extract_triples_df, ok_triples
+from openie_spark.parse import parse_pages
+from openie_spark.textclean import clean_pages
+
+
+def batch_triples(spark, n_pages, seed):
+    pages = pages_df(spark, n_pages, seed=seed, n_sents=4, partitions=2)
+    return ok_triples(
+        extract_triples_df(
+            parse_pages(clean_pages(pages, lang="ru")),
+            frozenset(STOPWORDS_FIXTURE),
+            with_vectors=False,
+        )
+    )
+
+
+def test_streaming_equals_batch(spark, tmp_path):
+    from openie_spark.streaming import (
+        read_pages_stream,
+        start_triples_sink,
+        stream_triples,
+    )
+
+    src = tmp_path / "pages_src"
+    pages = pages_df(spark, 24, seed=9, n_sents=4, partitions=3)
+    pages.write.parquet(str(src))
+
+    stream = stream_triples(read_pages_stream(spark, str(src)), lang="ru")
+    assert stream.isStreaming
+    q = start_triples_sink(
+        stream, str(tmp_path / "triples_out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["url"], r["sent_id"], r["left_arg"], r["relation"], r["right_arg"])
+        for r in spark.read.parquet(str(tmp_path / "triples_out")).collect()
+    }
+    expected = {
+        (r["url"], r["sent_id"], r["left_arg"], r["relation"], r["right_arg"])
+        for r in batch_triples(spark, 24, 9).collect()
+    }
+    assert got == expected
+
+
+def test_streaming_resume_is_exactly_once(spark, tmp_path):
+    """New files after a restart are processed exactly once."""
+    from openie_spark.streaming import (
+        read_pages_stream,
+        start_triples_sink,
+        stream_triples,
+    )
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ck"
+    pages_df(spark, 10, seed=3, n_sents=3, partitions=1).write.parquet(str(src))
+
+    q = start_triples_sink(
+        stream_triples(read_pages_stream(spark, str(src)), lang="ru"),
+        str(out), str(ckpt),
+    )
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(str(out)).count()
+
+    # drop a second batch of pages, restart the stream from the checkpoint
+    pages_df(spark, 22, seed=3, n_sents=3, partitions=1).filter(
+        F.xxhash64("url") % 2 == 0
+    ).write.mode("append").parquet(str(src))
+    q2 = start_triples_sink(
+        stream_triples(read_pages_stream(spark, str(src)), lang="ru"),
+        str(out), str(ckpt),
+    )
+    q2.awaitTermination(120)
+    n2 = spark.read.parquet(str(out)).count()
+    assert n2 >= n1
+    # no duplicates: (url, sent_id, triple) unique given unique page urls
+    dups = (
+        spark.read.parquet(str(out))
+        .groupBy("url", "sent_id", "left_arg", "relation", "right_arg")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+
+def test_triples_json_sink(spark, tmp_path):
+    from openie_spark.sinks import triples_json_df
+
+    t = batch_triples(spark, 10, seed=4)
+    rows = triples_json_df(t).collect()
+    assert rows
+    for r in rows:
+        parsed = json.loads(r["triples_json"])
+        assert all(len(x) == 3 for x in parsed)
+
+
+def test_conllu_roundtrip_sink(spark):
+    from openie_spark.conllu import parse_conllu
+    from openie_spark.sinks import conllu_df
+
+    pages = pages_df(spark, 6, seed=5, n_sents=3, partitions=2)
+    parses = parse_pages(clean_pages(pages, lang="ru"))
+    out = {r["url"]: r["conllu"] for r in conllu_df(parses).collect()}
+    orig = parses.collect()
+    assert out
+    for url, text in out.items():
+        sents = parse_conllu(text)
+        o = [p for p in orig if p["url"] == url]
+        assert len(sents) == len(o)
+        got_forms = [[t[1] for t in toks] for _, toks in sents]
+        want_forms = [
+            [t["form"] for t in p["tokens"]] for p in sorted(o, key=lambda r: r["sent_id"])
+        ]
+        assert got_forms == want_forms
+
+
+def test_graph_tables_and_gexf(spark, tmp_path):
+    from openie_spark.graph import aggregate_edges, aggregate_nodes
+    from openie_spark.sinks import export_gexf, write_graph_tables
+
+    t = batch_triples(spark, 12, seed=6).withColumn("cluster", F.lit(0))
+    nodes = aggregate_nodes(t, dim=0)
+    edges = aggregate_edges(t)
+    write_graph_tables(nodes, edges, str(tmp_path / "g"), buckets=4)
+    n2 = spark.read.parquet(str(tmp_path / "g" / "nodes"))
+    assert n2.count() == nodes.count()
+    assert "bucket" in n2.columns
+
+    gexf = tmp_path / "graph.gexf"
+    export_gexf(nodes, edges, str(gexf))
+    content = gexf.read_text()
+    assert "gexf" in content and "node_type" in content
