@@ -52,7 +52,7 @@ def child(cores: int, pages: int) -> None:
         "noop"
     ).mode("overwrite").save()
 
-    pages = pages_df(spark, pages, seed=42, n_sents=6, partitions=cores * 2).cache()
+    pages = pages_df(spark, pages, seed=42, n_sents=6, partitions=cores * 6).cache()
     pages.count()
 
     import shutil

@@ -74,9 +74,13 @@ def test_streaming_resume_is_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     n1 = spark.read.parquet(str(out)).count()
 
-    # drop a second batch of pages, restart the stream from the checkpoint
+    # drop a second batch of genuinely new pages (indices 10..21 — the
+    # generator is deterministic per index, so re-generating 0..9 would
+    # append the SAME urls as new files, which the stream would correctly
+    # process again), then restart the stream from the checkpoint
+    first_urls = {r["url"] for r in spark.read.parquet(str(src)).select("url").collect()}
     pages_df(spark, 22, seed=3, n_sents=3, partitions=1).filter(
-        F.xxhash64("url") % 2 == 0
+        ~F.col("url").isin(list(first_urls))
     ).write.mode("append").parquet(str(src))
     q2 = start_triples_sink(
         stream_triples(read_pages_stream(spark, str(src)), lang="ru"),
