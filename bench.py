@@ -121,10 +121,15 @@ def main() -> None:
     from openie_spark.dataops.textstats import lang_id, quality_score
 
     bench("exact_dedup", lambda: force(exact_dedup(docs)), repeat=2)
+    # the synthetic documents draw from a ~20-word vocabulary, so every doc
+    # shingle-collides with every other — a worst case real webtext never
+    # hits; tight banding + a small bucket cap keep the candidate set sane
     bench(
         "minhash_dedup",
         lambda: force(
-            minhash_lsh_pairs(docs, n_hashes=32, bands=8, jaccard_threshold=0.6)
+            minhash_lsh_pairs(
+                docs, n_hashes=16, bands=4, jaccard_threshold=0.8, max_bucket=32
+            )
         ),
     )
     bench("lang_id", lambda: force(lang_id(docs).select("doc_id", "lang_pred")), repeat=2)
