@@ -334,120 +334,156 @@ _EDGE_SCHEMA = T.StructType(
 )
 
 
-def merge_parallel_edges(edges: DataFrame) -> DataFrame:
-    """Merge parallel relation edges of one (src, dst) pair that share a
-    cluster, have all-distinct labels, and no shared source sentence
-    (relations.py:658-810). Grouped-map over (src, dst): each group is the
-    pair's parallel edge set — tiny — so the per-group Python is O(k²) on
-    k ≤ a few dozen. Emits a ``changed`` flag so the fixpoint driver can
-    detect quiescence cheaply."""
+def _aslist(v):
+    # Arrow hands array columns to pandas as numpy arrays; `arr or []`
+    # is a truthiness trap (a 1-element array of 0 is falsy)
+    return [] if v is None else list(v)
 
-    def _aslist(v):
-        # Arrow hands array columns to pandas as numpy arrays; `arr or []`
-        # is a truthiness trap (a 1-element array of 0 is falsy)
-        return [] if v is None else list(v)
+
+def _is_literal_row(r) -> bool:
+    return r["label"] in (IS_A, RELATES_TO)
+
+
+def merge_pair_edge_rows(rows):
+    """Pure pair-local edge merging (G4/G5 semantics, relations.py:658-810):
+    given the parallel edge rows of ONE (src, dst) pair as dicts, repeatedly
+    merge cluster-groups of ≥2 non-literal edges with all-distinct labels
+    and pairwise-disjoint source sentences. Returns (rows, changed).
+
+    Shared by the distributed grouped-map and the driver-local fixpoint so
+    both paths have identical semantics by construction."""
+    rows = list(rows)
+    any_change = False
+    changed = True
+    while changed:
+        changed = False
+        clusters = sorted(
+            {c for r in rows if not _is_literal_row(r) for c in _aslist(r["clusters"])}
+        )
+        for cl in clusters:
+            group = [
+                r
+                for r in rows
+                if not _is_literal_row(r) and cl in _aslist(r["clusters"])
+            ]
+            if len(group) < 2:
+                continue
+            labels = [r["label"] for r in group]
+            if len(set(labels)) != len(labels):
+                continue
+            # pairwise shared-sentence exclusion (both discarded)
+            excluded = set()
+            for i in range(len(group)):
+                for j in range(i + 1, len(group)):
+                    if set(_aslist(group[i]["descriptions"])) & set(
+                        _aslist(group[j]["descriptions"])
+                    ):
+                        excluded.add(i)
+                        excluded.add(j)
+            group = [g for i, g in enumerate(group) if i not in excluded]
+            if len(group) < 2:
+                continue
+            # merge: attr set-unions; weight = plain sum (documented
+            # delta vs the reference's sum-over-set dedup)
+            new_label = " | ".join(
+                sorted({p for g in group for p in g["label"].split(" | ")})
+            )
+            new_lemmas = " | ".join(
+                sorted({p for g in group for p in g["lemmas"].split(" | ")})
+            )
+            new_deprel = " | ".join(
+                sorted({p for g in group for p in g["deprel"].split(" | ")})
+            )
+            new_descs = sorted({d for g in group for d in _aslist(g["descriptions"])})
+            new_clusters = sorted(
+                {int(c) for g in group for c in _aslist(g["clusters"])}
+            )
+            new_row = {
+                "src": group[0]["src"],
+                "dst": group[0]["dst"],
+                "edge_key": f"{new_lemmas} + {new_deprel}",
+                "weight": int(sum(g["weight"] for g in group)),
+                "label": new_label,
+                "lemmas": new_lemmas,
+                "deprel": new_deprel,
+                "descriptions": new_descs,
+                "clusters": new_clusters,
+                "changed": 1,
+            }
+            ids = {id(g) for g in group}
+            rows = [r for r in rows if id(r) not in ids]
+            # collapse with an existing same-key edge if present
+            existing = next(
+                (r for r in rows if r["edge_key"] == new_row["edge_key"]), None
+            )
+            if existing is not None:
+                existing["weight"] += new_row["weight"]
+                existing["descriptions"] = sorted(
+                    set(_aslist(existing["descriptions"])) | set(new_descs)
+                )
+                existing["clusters"] = sorted(
+                    set(_aslist(existing["clusters"])) | set(new_clusters)
+                )
+                existing["changed"] = 1
+            else:
+                rows.append(new_row)
+            changed = True
+            any_change = True
+            break
+    return rows, any_change
+
+
+def merge_parallel_edges(edges: DataFrame) -> DataFrame:
+    """Distributed pair-local edge merging: grouped-map over (src, dst);
+    each group is tiny, so the per-group Python is O(k²) on k ≤ dozens.
+    Emits a ``changed`` flag so the fixpoint can detect quiescence."""
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = pdf.to_dict("records")
         for r in rows:
             r["changed"] = 0
-        changed = True
-        while changed:
-            changed = False
-            clusters = sorted(
-                {c for r in rows if not _literal(r) for c in _aslist(r["clusters"])}
-            )
-            for cl in clusters:
-                group = [
-                    r
-                    for r in rows
-                    if not _literal(r) and cl in _aslist(r["clusters"])
-                ]
-                if len(group) < 2:
-                    continue
-                labels = [r["label"] for r in group]
-                if len(set(labels)) != len(labels):
-                    continue
-                # pairwise shared-sentence exclusion (both discarded)
-                excluded = set()
-                for i in range(len(group)):
-                    for j in range(i + 1, len(group)):
-                        if set(_aslist(group[i]["descriptions"])) & set(
-                            _aslist(group[j]["descriptions"])
-                        ):
-                            excluded.add(i)
-                            excluded.add(j)
-                group = [g for i, g in enumerate(group) if i not in excluded]
-                if len(group) < 2:
-                    continue
-                # merge: attr set-unions; weight = plain sum (documented
-                # delta vs the reference's sum-over-set dedup)
-                new_label = " | ".join(
-                    sorted({p for g in group for p in g["label"].split(" | ")})
-                )
-                new_lemmas = " | ".join(
-                    sorted({p for g in group for p in g["lemmas"].split(" | ")})
-                )
-                new_deprel = " | ".join(
-                    sorted({p for g in group for p in g["deprel"].split(" | ")})
-                )
-                new_descs = sorted(
-                    {d for g in group for d in _aslist(g["descriptions"])}
-                )
-                new_clusters = sorted(
-                    {int(c) for g in group for c in _aslist(g["clusters"])}
-                )
-                new_row = {
-                    "src": group[0]["src"],
-                    "dst": group[0]["dst"],
-                    "edge_key": f"{new_lemmas} + {new_deprel}",
-                    "weight": int(sum(g["weight"] for g in group)),
-                    "label": new_label,
-                    "lemmas": new_lemmas,
-                    "deprel": new_deprel,
-                    "descriptions": new_descs,
-                    "clusters": new_clusters,
-                    "changed": 1,
-                }
-                ids = {id(g) for g in group}
-                rows = [r for r in rows if id(r) not in ids]
-                # collapse with an existing same-key edge if present
-                existing = next(
-                    (r for r in rows if r["edge_key"] == new_row["edge_key"]), None
-                )
-                if existing is not None:
-                    existing["weight"] += new_row["weight"]
-                    existing["descriptions"] = sorted(
-                        set(_aslist(existing["descriptions"])) | set(new_descs)
-                    )
-                    existing["clusters"] = sorted(
-                        set(_aslist(existing["clusters"])) | set(new_clusters)
-                    )
-                    existing["changed"] = 1
-                else:
-                    rows.append(new_row)
-                changed = True
-                break
+        rows, _ = merge_pair_edge_rows(rows)
         return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
 
-    def _literal(r) -> bool:
-        return r["label"] in (IS_A, RELATES_TO)
-
     return edges.groupBy("src", "dst").applyInPandas(merge_group, schema=_EDGE_SCHEMA)
+
+
+NODE_SCHEMA_DDL = (
+    "lemma_key string, weight long, label string, descriptions array<string>, "
+    "clusters array<int>, vector array<float>"
+)
+EDGE_SCHEMA_DDL = (
+    "src string, dst string, edge_key string, weight long, label string, "
+    "lemmas string, deprel string, descriptions array<string>, clusters array<int>"
+)
 
 
 def merge_fixpoint(
     nodes: DataFrame,
     edges: DataFrame,
     cfg: Optional[MergeConfig] = None,
+    local_threshold: Optional[int] = None,
 ) -> Tuple[DataFrame, DataFrame, int]:
     """Run node-merge + edge-merge rounds to a fixpoint.
 
-    Each round materializes via localCheckpoint to cut lineage (the loop
-    would otherwise stack a full join tree per round). Returns
-    (nodes, edges, rounds_run).
+    Dispatch: when the aggregated graph fits the driver (nodes+edges rows ≤
+    ``local_threshold``, default LOCAL_FIXPOINT_THRESHOLD), the fixpoint
+    runs driver-local — the iterative candidate joins pay ~60 Spark-job
+    latencies per convergence on data that is KBs after aggregation (the
+    reference's entities_limit world is ≤10⁴ nodes by design). Above the
+    threshold the identical bulk-round semantics run as DataFrame rounds
+    (shared pair-merge code), each round localCheckpoint'ed to cut lineage.
+    Returns (nodes, edges, rounds_run).
     """
     cfg = cfg or MergeConfig()
+    if local_threshold is None:
+        local_threshold = LOCAL_FIXPOINT_THRESHOLD
+    if local_threshold > 0:
+        n_count = nodes.count()
+        e_count = edges.count()
+        if n_count + e_count <= local_threshold:
+            return _merge_fixpoint_via_driver(nodes, edges, cfg)
+
     rounds = 0
     nodes = nodes.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
@@ -473,3 +509,258 @@ def merge_fixpoint(
         if not progressed:
             break
     return nodes, edges, rounds
+
+# ---- driver-local fast path ---------------------------------------------------
+
+def _np_cosine_distance(u, v) -> float:
+    import numpy as np
+
+    if u is None or v is None:
+        return 0.0
+    u = np.asarray(u, dtype=float)
+    v = np.asarray(v, dtype=float)
+    nu = float(np.linalg.norm(u))
+    nv = float(np.linalg.norm(v))
+    if nu == 0.0 or nv == 0.0:
+        return 0.0
+    return 1.0 - float(np.dot(u, v)) / (nu * nv)
+
+
+def _local_find_mapping(nodes: dict, edges: dict, cfg: MergeConfig) -> dict:
+    """Pure-Python mirror of find_node_mapping's bulk-round semantics."""
+    groups: dict = {}
+    edge_pairs = set()
+    for (src, dst, key), e in edges.items():
+        edge_pairs.add((src, dst))
+        if e["label"] in (IS_A, RELATES_TO):
+            continue
+        groups.setdefault(("t", src, key), set()).add(dst)
+        groups.setdefault(("s", dst, key), set()).add(src)
+
+    candidates = []  # (other, main, main_weight)
+    for (direction, anchor, key), cands in groups.items():
+        anchor_clusters = nodes[anchor]["clusters"]
+        gated = [c for c in cands if anchor_clusters & nodes[c]["clusters"]]
+        if len(gated) < 2:
+            continue
+        gated.sort(key=lambda c: (nodes[c]["weight"], c), reverse=True)
+        gated = gated[: cfg.max_group]
+        # pairwise exclusions: edge between (either direction) or shared
+        # source sentence knocks BOTH out
+        bad = set()
+        for i in range(len(gated)):
+            for j in range(i + 1, len(gated)):
+                a, b = gated[i], gated[j]
+                if (
+                    (a, b) in edge_pairs
+                    or (b, a) in edge_pairs
+                    or nodes[a]["descriptions"] & nodes[b]["descriptions"]
+                ):
+                    bad.add(a)
+                    bad.add(b)
+        surv = [c for c in gated if c not in bad]
+        if len(surv) < 2:
+            continue
+        surv.sort(key=lambda c: (nodes[c]["weight"], c), reverse=True)
+        main, *others = surv
+        for other in others:
+            if (
+                _np_cosine_distance(nodes[main]["vector"], nodes[other]["vector"])
+                <= cfg.cosine_threshold
+            ):
+                candidates.append((other, main, nodes[main]["weight"]))
+
+    # conflict resolution: per other the highest-priority main; mains that
+    # are themselves absorbed defer to the next round
+    best: dict = {}
+    for other, main, mw in candidates:
+        cur = best.get(other)
+        if cur is None or (mw, main) > (cur[1], cur[0]):
+            best[other] = (main, mw)
+    mapping = {other: main for other, (main, _) in best.items()}
+    absorbed = set(mapping)
+    return {o: m for o, m in mapping.items() if m not in absorbed}
+
+
+def _local_apply_mapping(nodes: dict, edges: dict, mapping: dict, cfg: MergeConfig):
+    import numpy as np
+
+    # ---- nodes: group by new key, mirror the DataFrame agg ordering
+    grouped: dict = {}
+    for key, n in nodes.items():
+        new_key = mapping.get(key, key)
+        grouped.setdefault(new_key, []).append((key, n))
+    new_nodes: dict = {}
+    for new_key, members in grouped.items():
+        members.sort(
+            key=lambda kn: (
+                1 if kn[0] == new_key else 0,  # main row first
+                kn[1]["weight"],
+                kn[0],
+                kn[1]["label"] or "",
+            ),
+            reverse=True,
+        )
+        weight = sum(n["weight"] for _, n in members)
+        label = " | ".join(n["label"] for _, n in members if n["label"])
+        descs = set().union(*(n["descriptions"] for _, n in members))
+        clusters = set().union(*(n["clusters"] for _, n in members))
+        vecs = [(n["weight"], n["vector"]) for _, n in members if n["vector"] is not None]
+        if vecs:
+            acc = np.zeros(len(vecs[0][1]), dtype=float)
+            for w, v in vecs:
+                acc += w * np.asarray(v, dtype=float)
+            vector = (acc / weight).astype("float32")
+        else:
+            vector = None
+        new_nodes[new_key] = {
+            "weight": weight,
+            "label": label,
+            "descriptions": descs,
+            "clusters": clusters,
+            "vector": vector,
+        }
+
+    # ---- edges: re-point, re-aggregate
+    new_edges: dict = {}
+    for (src, dst, key), e in edges.items():
+        if cfg.strict_parity and dst in mapping:
+            continue  # reference quirk: absorbed nodes' in-edges vanish
+        nsrc = mapping.get(src, src)
+        ndst = dst if cfg.strict_parity else mapping.get(dst, dst)
+        k = (nsrc, ndst, key)
+        if k not in new_edges:
+            new_edges[k] = {
+                "weight": e["weight"],
+                "label": e["label"],
+                "lemmas": e["lemmas"],
+                "deprel": e["deprel"],
+                "descriptions": set(e["descriptions"]),
+                "clusters": set(e["clusters"]),
+            }
+        else:
+            t = new_edges[k]
+            t["weight"] += e["weight"]
+            t["label"] = min(t["label"], e["label"])
+            t["lemmas"] = min(t["lemmas"], e["lemmas"])
+            t["deprel"] = min(t["deprel"], e["deprel"])
+            t["descriptions"] |= e["descriptions"]
+            t["clusters"] |= e["clusters"]
+    return new_nodes, new_edges
+
+
+def _local_merge_parallel_edges(edges: dict) -> tuple:
+    by_pair: dict = {}
+    for (src, dst, key), e in edges.items():
+        by_pair.setdefault((src, dst), []).append(
+            {
+                "src": src,
+                "dst": dst,
+                "edge_key": key,
+                "weight": e["weight"],
+                "label": e["label"],
+                "lemmas": e["lemmas"],
+                "deprel": e["deprel"],
+                "descriptions": sorted(e["descriptions"]),
+                "clusters": sorted(e["clusters"]),
+                "changed": 0,
+            }
+        )
+    out: dict = {}
+    any_change = False
+    for pair, rows in by_pair.items():
+        merged, changed = merge_pair_edge_rows(rows)
+        any_change = any_change or changed
+        for r in merged:
+            out[(r["src"], r["dst"], r["edge_key"])] = {
+                "weight": r["weight"],
+                "label": r["label"],
+                "lemmas": r["lemmas"],
+                "deprel": r["deprel"],
+                "descriptions": set(r["descriptions"]),
+                "clusters": set(r["clusters"]),
+            }
+    return out, any_change
+
+
+def merge_fixpoint_local(node_rows, edge_rows, cfg: MergeConfig):
+    """Driver-local bulk-round fixpoint over collected rows. Same semantics
+    as the distributed path (shared pair-merge code; mirrored candidate
+    rule); used when the post-aggregation graph fits the driver."""
+    nodes = {
+        r["lemma_key"]: {
+            "weight": r["weight"],
+            "label": r["label"],
+            "descriptions": set(r["descriptions"] or []),
+            "clusters": set(r["clusters"] or []),
+            "vector": list(r["vector"]) if r["vector"] is not None else None,
+        }
+        for r in node_rows
+    }
+    edges = {
+        (r["src"], r["dst"], r["edge_key"]): {
+            "weight": r["weight"],
+            "label": r["label"],
+            "lemmas": r["lemmas"],
+            "deprel": r["deprel"],
+            "descriptions": set(r["descriptions"] or []),
+            "clusters": set(r["clusters"] or []),
+        }
+        for r in edge_rows
+    }
+    rounds = 0
+    while rounds < cfg.max_rounds:
+        rounds += 1
+        progressed = False
+        mapping = _local_find_mapping(nodes, edges, cfg)
+        if mapping:
+            nodes, edges = _local_apply_mapping(nodes, edges, mapping, cfg)
+            progressed = True
+        edges, changed = _local_merge_parallel_edges(edges)
+        progressed = progressed or changed
+        if not progressed:
+            break
+    return nodes, edges, rounds
+
+
+LOCAL_FIXPOINT_THRESHOLD = 200_000  # nodes+edges rows that fit a driver pass
+
+
+def _merge_fixpoint_via_driver(
+    nodes: DataFrame, edges: DataFrame, cfg: MergeConfig
+) -> Tuple[DataFrame, DataFrame, int]:
+    spark = nodes.sparkSession
+    n_rows = [r.asDict() for r in nodes.collect()]
+    e_rows = [r.asDict() for r in edges.collect()]
+    new_nodes, new_edges, rounds = merge_fixpoint_local(n_rows, e_rows, cfg)
+
+    node_out = [
+        (
+            k,
+            int(n["weight"]),
+            n["label"],
+            sorted(n["descriptions"]),
+            sorted(int(c) for c in n["clusters"]),
+            [float(x) for x in n["vector"]] if n["vector"] is not None else None,
+        )
+        for k, n in sorted(new_nodes.items())
+    ]
+    edge_out = [
+        (
+            src,
+            dst,
+            key,
+            int(e["weight"]),
+            e["label"],
+            e["lemmas"],
+            e["deprel"],
+            sorted(e["descriptions"]),
+            sorted(int(c) for c in e["clusters"]),
+        )
+        for (src, dst, key), e in sorted(new_edges.items())
+    ]
+    return (
+        spark.createDataFrame(node_out, NODE_SCHEMA_DDL),
+        spark.createDataFrame(edge_out, EDGE_SCHEMA_DDL),
+        rounds,
+    )

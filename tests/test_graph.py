@@ -261,3 +261,17 @@ def test_bypass_label_chain(spark):
     assert ("a", "b", "rel + obj") in got
     assert got[("a", "b", "rel + obj")] == 1
     assert got[("a", "b", "rel2 + obj")] == 2
+
+
+def test_distributed_fixpoint_equals_local(spark):
+    """The DataFrame fixpoint (scale path) and the driver-local fast path
+    must produce identical graphs on the same input."""
+    for rows in (MERGE_POSITIVE, EDGE_MERGE, CLUSTER_GATE):
+        nodes, edges = _agg(spark, rows)
+        ln, le, _ = merge_fixpoint(nodes, edges, MergeConfig())  # local path
+        dn, de, _ = merge_fixpoint(
+            nodes, edges, MergeConfig(), local_threshold=0
+        )  # distributed path
+        ls = our_snapshot(ln, le)
+        ds = our_snapshot(dn, de)
+        assert ls == ds
