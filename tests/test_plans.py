@@ -1,0 +1,63 @@
+"""Physical-plan assertions: the optimizations SCALE.md claims must be
+visible in the executed plan, or a regression silently costs 100× at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lang_filter_pushes_into_scan(spark, tmp_path):
+    from openie_spark.corpus import pages_df
+    from openie_spark.textclean import clean_pages
+
+    pages_df(spark, 30, seed=1).write.parquet(str(tmp_path / "pages"))
+    pages = spark.read.parquet(str(tmp_path / "pages"))
+    plan = _plan(clean_pages(pages, lang="ru"))
+    assert "PushedFilters" in plan
+    assert "EqualTo(lang,ru)" in plan
+
+
+def test_column_pruning_token_count(spark):
+    import pathlib
+
+    if not pathlib.Path("/root/testdata/sf0.001").exists():
+        pytest.skip("testdata not present")
+    from openie_spark.dataops.textstats import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(docs.select("doc_id", token_count().alias("n")))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "lang" not in read_schema
+
+
+def test_topk_is_partial_topk_not_global_sort(spark):
+    from openie_spark.dataops.similarity import brute_force_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)], "vec_id long, embedding array<float>"
+    )
+    plan = _plan(brute_force_topk(df, [1.0, 0.0], k=5))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_mapping_rewrite_is_broadcast(spark):
+    from openie_spark.graph import aggregate_edges, aggregate_nodes
+    from openie_spark.merge import MergeConfig, apply_node_mapping
+
+    t = spark.createDataFrame(
+        [("u", 0, "s", "a", "a", "r", "r", "b", "b", "obj", None, None, 0)],
+        "url string, sent_id int, sent_text string, left_arg string, "
+        "left_arg_lemmas string, relation string, relation_lemmas string, "
+        "right_arg string, right_arg_lemmas string, right_deprel string, "
+        "left_vec array<float>, right_vec array<float>, cluster int",
+    )
+    n, e = aggregate_nodes(t, dim=0), aggregate_edges(t)
+    mapping = spark.createDataFrame([("a", "b")], "other string, main string")
+    _, me = apply_node_mapping(n, e, mapping, MergeConfig(dim=0))
+    assert "BroadcastHashJoin" in _plan(me)
