@@ -55,8 +55,13 @@ class PipelineConfig:
     max_descriptions: Optional[int] = None
 
     def fingerprint(self) -> str:
+        import hashlib
+
+        # stable digest — Python's hash() is salted per process, which would
+        # spuriously invalidate every cross-process resume
+        stop_digest = hashlib.sha256("\x00".join(self.stopwords).encode()).hexdigest()[:16]
         return (
-            f"lang={self.lang};stop={hash(self.stopwords)};add={self.additional_relations};"
+            f"lang={self.lang};stop={stop_digest};add={self.additional_relations};"
             f"limit={self.entities_limit};dim={self.dim};seed={self.seed};"
             f"salted={self.salted};strict={self.strict_parity};"
             f"skip_c={self.skip_clustering};skip_m={self.skip_merge}"

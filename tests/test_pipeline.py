@@ -82,3 +82,23 @@ def test_manifest_contents(spark, tmp_path):
     assert m["rows"] > 0
     assert m["n_partitions"] >= 1
     assert "url" in m["schema"]
+
+
+def test_fingerprint_is_process_stable():
+    """Resume across spark-submit invocations requires a stable fingerprint;
+    Python's salted hash() would invalidate every cross-process resume."""
+    import subprocess
+    import sys
+
+    code = (
+        "from openie_spark.pipeline import PipelineConfig;"
+        "print(PipelineConfig().fingerprint())"
+    )
+    outs = {
+        subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd="/root/repo",
+        ).stdout.strip()
+        for _ in range(2)
+    }
+    assert len(outs) == 1 and "" not in outs
