@@ -136,6 +136,12 @@ def main() -> None:
         "--n-cores", type=int, default=2, help="N in the N vs 4N protocol"
     )
     ap.add_argument("--out", default="BENCH/BASELINE.md")
+    ap.add_argument(
+        "--raw-file",
+        default="BENCH/scaling_runs.json",
+        help="accumulate raw runs across protocol invocations; medians are "
+        "computed over ALL accumulated runs (every run is reported)",
+    )
     args = ap.parse_args()
 
     if args.child:
@@ -144,6 +150,12 @@ def main() -> None:
 
     lo, hi = args.n_cores, 4 * args.n_cores
     results = {lo: [], hi: []}
+    raw_path = Path(args.raw_file)
+    if raw_path.is_file():
+        prior = json.loads(raw_path.read_text())
+        for k, v in prior.items():
+            if int(k) in results:
+                results[int(k)].extend(v)
     for i in range(args.runs):
         for cores in (hi, lo):  # interleave; 4N first while credits are fresh
             r = run_child(cores, args.pages)
@@ -151,6 +163,9 @@ def main() -> None:
             print(f"run {i} cores={cores}: {r}", file=sys.stderr)
             time.sleep(60)  # cooldown: the VM uses hypervisor burst credits
 
+    raw_path.parent.mkdir(parents=True, exist_ok=True)
+    raw_path.write_text(json.dumps({str(k): v for k, v in results.items()}, indent=2))
+    n_runs_total = len(results[lo])
     med = {
         c: statistics.median(r["triples_per_sec"] for r in results[c])
         for c in results
@@ -172,7 +187,7 @@ IDENTICAL deterministic input ({args.pages} pages, seed 42, {n_triples}
 triples), run at N=local[{lo}] and 4N=local[{hi}], each parallelism level in
 its own JVM, shuffle partitions = 2×cores, AQE on, JVM + Python-worker
 warmup excluded, configs interleaved per repetition with cooldowns,
-median of {args.runs} runs.
+median of {n_runs_total} interleaved runs (all runs listed below).
 
 Measured span per the protocol ("wall-clock measured over the
 extract-through-materialize stages"): clean → parse → extract →
