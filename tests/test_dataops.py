@@ -17,14 +17,21 @@ HAVE_TESTDATA = Path(SF_DIR).exists()
 def docs(spark):
     if not HAVE_TESTDATA:
         pytest.skip("testdata not present")
-    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    # Unpersist at module teardown: a cached full-width relation is otherwise
+    # substituted into every later plan over the same path session-wide,
+    # silently defeating column pruning (see tests/test_plans.py).
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 @pytest.fixture(scope="module")
 def emb(spark):
     if not HAVE_TESTDATA:
         pytest.skip("testdata not present")
-    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 def test_exact_dedup_plants_duplicates(spark):

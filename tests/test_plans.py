@@ -29,6 +29,9 @@ def test_column_pruning_token_count(spark):
         pytest.skip("testdata not present")
     from openie_spark.dataops.textstats import token_count
 
+    # A cached full-width relation over the same path anywhere in the session
+    # would be substituted into this plan and defeat pruning; start clean.
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan(docs.select("doc_id", token_count().alias("n")))
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
