@@ -148,11 +148,44 @@ def verify_jaccard(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    method: str = "arrays",
 ) -> DataFrame:
-    """Exact Jaccard on shingle sets for candidate pairs (explode + join)."""
+    """Exact Jaccard on shingle sets for candidate pairs.
+
+    method="arrays" (default): join the pair list to pre-aggregated shingle
+    arrays (two id-key joins) and compute ``size(array_intersect(...))``
+    JVM-side. One shuffle per side, no shingle re-explode — candidate counts
+    are already bounded by banding / DF caps upstream, so carrying two
+    arrays per pair row is cheap and this beats the explode plan by an
+    order of magnitude at bench scale.
+
+    method="explode": the shingle-equi-join plan — keeps per-row state tiny
+    (one shingle per row), the right choice only when individual documents
+    have huge shingle sets AND the candidate pair list is massive.
+    """
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("shs")
     )
+    if method == "arrays":
+        out = (
+            pairs.join(
+                sh.select(F.col("_id").alias("id_a"), F.col("shs").alias("shs_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col("_id").alias("id_b"), F.col("shs").alias("shs_b")),
+                "id_b",
+            )
+            .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
+            .withColumn(
+                "jaccard",
+                F.col("n_inter")
+                / (F.size("shs_a") + F.size("shs_b") - F.col("n_inter")),
+            )
+        )
+        return out.select("id_a", "id_b", "jaccard")
+    if method != "explode":
+        raise ValueError(f"unknown verify method: {method!r}")
     sizes = sh.select("_id", F.size("shs").alias("n_sh"))
     exploded = sh.select("_id", F.explode("shs").alias("sh"))
 
@@ -260,28 +293,40 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    n_bands: int = 4,
+    n_bands: Optional[int] = None,
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Banding on 16-bit
-    slices: any pair within hamming 3 of a 64-bit hash agrees exactly on at
-    least one of 4 slices (pigeonhole) → candidates, then popcount verify
-    JVM-side (bit_count)."""
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming. Banding on
+    disjoint bit slices covering all 64 bits: a pair within hamming
+    ``n_bands - 1`` agrees exactly on at least one slice (pigeonhole), so
+    candidate recall is guaranteed only when ``n_bands > max_hamming`` —
+    ``n_bands`` therefore defaults to ``max_hamming + 1`` and an explicit
+    smaller value is rejected rather than silently missing pairs.
+    Candidates are then popcount-verified JVM-side (bit_count)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}; need n_bands > max_hamming (pigeonhole)"
+        )
+    if n_bands > 64:
+        n_bands = 64  # slices are bits; hamming ≤ 63 is always covered
     sig = simhash_df(df, id_col, text_col).cache()
-    slice_bits = 64 // n_bands
-    mask = (1 << slice_bits) - 1
+    # even-as-possible disjoint slice boundaries covering all 64 bits
+    bounds = [64 * i // n_bands for i in range(n_bands + 1)]
+    slices = []
+    for b in range(n_bands):
+        lo, hi = bounds[b], bounds[b + 1]
+        width = hi - lo
+        shifted = F.shiftrightunsigned(F.col("simhash"), lo)
+        if width >= 64:
+            slices.append(shifted)
+        else:
+            slices.append(shifted.bitwiseAND(F.lit((1 << width) - 1)))
     banded = sig.select(
         F.col(id_col),
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned(F.col("simhash"), b * slice_bits).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_val"),
+        F.posexplode(F.array(*slices)).alias("band", "band_val"),
     )
     a = banded.select("band", "band_val", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
     b = banded.select("band", "band_val", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
@@ -302,29 +347,42 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     blocking_col: Optional[str] = "label",
     min_cosine: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (exact within
-    block; use similarity.hyperplane_buckets as the blocker when no natural
-    key exists)."""
+    block). When ``blocking_col`` is None, the blocker defaults to
+    random-hyperplane sign buckets (similarity.hyperplane_buckets) — there
+    is deliberately NO all-pairs cartesian path: at 100 TB an unblocked
+    self-join is a non-starter. The hyperplane blocker is approximate
+    (a pair at cosine ≥ 0.95 lands in the same bucket unless a plane
+    separates it — miss probability ≈ n_planes·angle/π per pair; lower
+    ``n_planes`` for higher recall, or pass an explicit blocking column for
+    exactness within blocks)."""
     from ..merge import cosine_distance_col
 
-    cols = [F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")]
-    if blocking_col:
-        cols.append(F.col(blocking_col).alias("_blk"))
-    base = emb_df.select(*cols)
-    a = base.select(
-        *(["_blk"] if blocking_col else []),
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("v_a"),
+    if blocking_col is None:
+        from .similarity import hyperplane_buckets
+
+        first = emb_df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            return emb_df.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double"
+            )
+        emb_df = hyperplane_buckets(
+            emb_df, dim=first["d"], n_planes=n_planes, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        blocking_col = "bucket"
+
+    base = emb_df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.col(blocking_col).alias("_blk"),
     )
-    b = base.select(
-        *(["_blk"] if blocking_col else []),
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("v_b"),
-    )
-    pairs = a.join(b, ["_blk"] if blocking_col else F.lit(True)).filter(
-        F.col("id_a") < F.col("id_b")
-    )
+    a = base.select("_blk", F.col("_id").alias("id_a"), F.col("_v").alias("v_a"))
+    b = base.select("_blk", F.col("_id").alias("id_b"), F.col("_v").alias("v_b"))
+    pairs = a.join(b, ["_blk"]).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn(
             "cosine", F.lit(1.0) - cosine_distance_col(F.col("v_a"), F.col("v_b"))

@@ -60,11 +60,16 @@ class PipelineConfig:
         # stable digest — Python's hash() is salted per process, which would
         # spuriously invalidate every cross-process resume
         stop_digest = hashlib.sha256("\x00".join(self.stopwords).encode()).hexdigest()[:16]
+        # every output-affecting knob must appear here — omitting one makes
+        # a checkpoint-resume silently reuse stale stage parquet after the
+        # knob changes (salt count/layout doesn't change stage OUTPUT, but
+        # max_descriptions caps the emitted description sets, so it does)
         return (
             f"lang={self.lang};stop={stop_digest};add={self.additional_relations};"
             f"limit={self.entities_limit};dim={self.dim};seed={self.seed};"
             f"salted={self.salted};strict={self.strict_parity};"
-            f"skip_c={self.skip_clustering};skip_m={self.skip_merge}"
+            f"skip_c={self.skip_clustering};skip_m={self.skip_merge};"
+            f"maxd={self.max_descriptions}"
         )
 
 

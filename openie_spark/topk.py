@@ -65,11 +65,25 @@ def find_nodes_to_keep(
         .collect()
     )
     out_edges: dict = {}
-    in_edges: dict = {}
     for e in induced:
         if e["src"] in cand_set and e["dst"] in cand_set:
             out_edges.setdefault(e["src"], []).append((e["dst"], e["label"]))
-            in_edges.setdefault(e["dst"], []).append((e["src"], e["label"]))
+    # The reference's in-edge quirk counts a node's in-edge labels
+    # UNCONDITIONALLY (target==node is trivially in nodes_to_leave), so the
+    # in-edge side must NOT be restricted to candidate-set sources — a
+    # non-structural in-edge from a below-buffer node must still pin its
+    # target. Since in-labels never depend on nodes_to_leave membership, the
+    # only signal needed per candidate is "has ≥1 in-edge whose label is not
+    # _is_a_/_relates_to_" — aggregated distributed-side, never collected
+    # per-edge (a hub node may have millions of in-edges at scale).
+    nonstructural_in = {
+        r["dst"]
+        for r in edges.filter(~F.col("label").isin(IS_A, RELATES_TO))
+        .join(cand_df.withColumnRenamed("k", "dst"), "dst", "left_semi")
+        .select("dst")
+        .distinct()
+        .collect()
+    }
 
     keep = min(n_nodes_to_leave, len(all_nodes))
     nodes_to_leave = set(all_nodes[:keep])
@@ -77,13 +91,14 @@ def find_nodes_to_keep(
 
     while True:
         for node in sorted(nodes_to_leave):  # deterministic scan order
+            # in-edge quirk: target==node is always in nodes_to_leave, so a
+            # single non-structural in-edge (from ANY node) pins the node
+            if node in nonstructural_in:
+                continue
             out_labels = [
                 lbl for tgt, lbl in out_edges.get(node, []) if tgt in nodes_to_leave
             ]
-            # in-edge quirk: target==node is always in nodes_to_leave
-            in_labels = [lbl for _, lbl in in_edges.get(node, [])]
-            labels = out_labels + in_labels
-            if all(l in (IS_A, RELATES_TO) for l in labels):
+            if all(l in (IS_A, RELATES_TO) for l in out_labels):
                 nodes_to_leave.discard(node)
                 if next_node_index < len(all_nodes):
                     nodes_to_leave.add(all_nodes[next_node_index])
@@ -99,6 +114,7 @@ def bypass_and_drop(
     edges: DataFrame,
     keep_keys: Set[str],
     max_rounds: int = 50,
+    stats: Optional[dict] = None,
 ) -> Tuple[DataFrame, DataFrame]:
     """Drop all nodes not in ``keep_keys``, adding pred→succ bypass edges
     where the in-label equals the out-label (relations.py:865-892).
@@ -106,13 +122,57 @@ def bypass_and_drop(
     Independent-batch rounds: per round, a removed node is processed only
     if none of its removed neighbors hashes smaller; edges incident to the
     processed batch are consumed, bypass edges join the live set.
+
+    Round bound: per round every local-hash-minimum among removed nodes is
+    consumed, so rounds ≤ longest strictly-hash-decreasing path in the
+    removed-adjacency graph — O(log |removed|) in expectation for the
+    uniform xxhash64 (measured in tests/test_graph.py: 1k-node removed
+    chain resolves in ≤14 rounds). Before the rounds, a sound pre-filter
+    drops every removed↔removed edge whose label L has no kept→removed
+    in-edge or no removed→kept out-edge anywhere: a final kept→kept bypass
+    edge of label L needs both ends of a label-homogeneous chain (bypass
+    only fuses equal labels), so such edges can never contribute — at web
+    scale with entities_limit ≪ |V| this discards the bulk of the edge set
+    up front instead of grinding it through the rounds.
+
+    If ``max_rounds`` is exhausted with removed nodes remaining, the
+    leftover edges touching non-kept nodes are dropped (never returned
+    dangling) and the event is recorded in ``stats['truncated']``.
     """
     spark = nodes.sparkSession
     keep_df = F.broadcast(
         spark.createDataFrame([(k,) for k in sorted(keep_keys)], "lemma_key string")
     )
 
-    cur_edges = edges
+    # sound label pre-filter on removed↔removed edges (see docstring)
+    k_src = keep_df.withColumnRenamed("lemma_key", "src")
+    k_dst = keep_df.withColumnRenamed("lemma_key", "dst")
+    src_kept = F.col("src_kept")
+    dst_kept = F.col("dst_kept")
+    tagged = (
+        edges.join(k_src.withColumn("src_kept", F.lit(True)), "src", "left")
+        .join(k_dst.withColumn("dst_kept", F.lit(True)), "dst", "left")
+        .withColumn("src_kept", F.coalesce(src_kept, F.lit(False)))
+        .withColumn("dst_kept", F.coalesce(dst_kept, F.lit(False)))
+    )
+    useful_labels = F.broadcast(
+        tagged.filter(src_kept & ~dst_kept)
+        .select("label")
+        .intersect(tagged.filter(~src_kept & dst_kept).select("label"))
+    )
+    cur_edges = (
+        tagged.join(
+            useful_labels.withColumn("_useful", F.lit(True)), "label", "left"
+        )
+        .filter(
+            src_kept | dst_kept | F.coalesce(F.col("_useful"), F.lit(False))
+        )
+        .drop("src_kept", "dst_kept", "_useful")
+        .select(edges.columns)
+    )
+
+    rounds = 0
+    truncated = False
     for _ in range(max_rounds):
         removed = (
             cur_edges.select(F.col("src").alias("lemma_key"))
@@ -122,6 +182,7 @@ def bypass_and_drop(
         )
         if removed.isEmpty():
             break
+        rounds += 1
         removed = removed.withColumn("h", F.xxhash64("lemma_key"))
 
         # defer removed nodes adjacent (among current edges) to a
@@ -218,6 +279,26 @@ def bypass_and_drop(
             .localCheckpoint(eager=True)
         )
 
+    else:
+        # max_rounds exhausted: never return edges referencing nodes absent
+        # from new_nodes — drop any leftovers loudly instead of dangling.
+        cleaned = cur_edges.join(
+            keep_df.withColumnRenamed("lemma_key", "src"), "src", "left_semi"
+        ).join(keep_df.withColumnRenamed("lemma_key", "dst"), "dst", "left_semi")
+        if cur_edges.count() != cleaned.count():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "bypass_and_drop: max_rounds=%d exhausted; dropping edges "
+                "still touching non-kept nodes without bypassing them",
+                max_rounds,
+            )
+            truncated = True
+        cur_edges = cleaned
+
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["truncated"] = truncated
     new_nodes = nodes.join(keep_df, "lemma_key", "left_semi")
     return new_nodes, cur_edges
 

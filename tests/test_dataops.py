@@ -79,6 +79,56 @@ def test_simhash_neardup(spark):
     assert not any(3 in k for k in pairs)
 
 
+def test_simhash_band_guarantee(spark):
+    from openie_spark.dataops.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    # bands that can't cover the requested radius are rejected, not silent
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_neardup_pairs(df, max_hamming=6, n_bands=4)
+    # defaulted bands always satisfy n_bands = max_hamming + 1
+    simhash_neardup_pairs(df, max_hamming=6).collect()  # 7 uneven slices, runs
+
+
+def test_embedding_neardup_default_blocker(spark):
+    """blocking_col=None must find the planted near-pair via hyperplane
+    buckets (no cartesian path exists; see test_plans for the plan check)."""
+    from openie_spark.dataops.dedup import embedding_neardup_pairs
+
+    v = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.999, 0.01, 0.0, 0.0]
+    w = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, v), (2, v2), (3, w)], "vec_id long, embedding array<float>"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, blocking_col=None).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
+def test_verify_jaccard_methods_agree(spark):
+    from openie_spark.dataops.dedup import verify_jaccard
+
+    df = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five seven"),
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    arr = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           verify_jaccard(df, pairs, method="arrays").collect()}
+    exp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           verify_jaccard(df, pairs, method="explode").collect()}
+    assert arr.keys() == exp.keys()
+    for k in arr:
+        assert abs(arr[k] - exp[k]) < 1e-12
+
+
 def test_ngram_jaccard_pairs(spark):
     from openie_spark.dataops.dedup import ngram_jaccard_pairs
 

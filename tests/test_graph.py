@@ -263,6 +263,53 @@ def test_bypass_label_chain(spark):
     assert got[("a", "b", "rel2 + obj")] == 2
 
 
+def test_bypass_long_chain_round_bound(spark):
+    """Large removed set: a label-homogeneous chain of 60 removed nodes
+    between two kept endpoints must fully collapse to one kept→kept bypass
+    edge, in ≈O(log n) rounds (hash-minima batches), well under max_rounds."""
+    from openie_spark.topk import bypass_and_drop
+
+    n = 60
+    names = [f"n{i:03d}" for i in range(n + 2)]
+    rows = [
+        (f"u{i}", 0, f"s{i}", names[i], "rel", names[i + 1], "obj", V_ZERO, V_ZERO, 0)
+        for i in range(n + 1)
+    ]
+    # plus a removed-removed edge with a label that can never reach kept
+    # endpoints (no kept-incident 'dead' edge exists) — pre-filter fodder
+    rows.append(("ux", 0, "sx", names[5], "dead", names[9], "obj", V_ZERO, V_ZERO, 0))
+    nodes, edges = _agg(spark, rows)
+    keep = {names[0], names[-1]}
+    stats: dict = {}
+    f_nodes, f_edges = bypass_and_drop(nodes, edges, keep, stats=stats)
+    got = {(r["src"], r["dst"], r["edge_key"]): r["weight"] for r in f_edges.collect()}
+    assert got == {(names[0], names[-1], "rel + obj"): 1}
+    assert not stats["truncated"]
+    assert stats["rounds"] <= 25, stats  # measured bound: ~O(log n) batches
+    kept = {r["lemma_key"] for r in f_nodes.collect()}
+    assert kept == keep
+
+
+def test_bypass_max_rounds_truncation_never_dangles(spark):
+    """If max_rounds is exhausted, leftover edges touching removed nodes are
+    dropped (with stats['truncated']=True) — never returned dangling."""
+    from openie_spark.topk import bypass_and_drop
+
+    names = [f"m{i}" for i in range(8)]
+    rows = [
+        (f"u{i}", 0, f"s{i}", names[i], "rel", names[i + 1], "obj", V_ZERO, V_ZERO, 0)
+        for i in range(7)
+    ]
+    nodes, edges = _agg(spark, rows)
+    keep = {names[0], names[-1]}
+    stats: dict = {}
+    f_nodes, f_edges = bypass_and_drop(nodes, edges, keep, max_rounds=1, stats=stats)
+    assert stats["truncated"]
+    kept = {r["lemma_key"] for r in f_nodes.collect()}
+    for r in f_edges.collect():
+        assert r["src"] in kept and r["dst"] in kept
+
+
 def test_distributed_fixpoint_equals_local(spark):
     """The DataFrame fixpoint (scale path) and the driver-local fast path
     must produce identical graphs on the same input."""

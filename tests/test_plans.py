@@ -49,6 +49,22 @@ def test_topk_is_partial_topk_not_global_sort(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_embedding_neardup_never_cartesian(spark):
+    """With no blocking column, embedding_neardup_pairs must block on
+    hyperplane buckets — an all-pairs CartesianProduct is unreachable."""
+    from openie_spark.dataops.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_neardup_pairs(df, blocking_col=None)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    out.collect()  # and it actually runs
+
+
 def test_merge_mapping_rewrite_is_broadcast(spark):
     from openie_spark.graph import aggregate_edges, aggregate_nodes
     from openie_spark.merge import MergeConfig, apply_node_mapping
