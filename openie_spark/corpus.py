@@ -226,6 +226,58 @@ def gen_pages_rows(n_pages: int, seed: int = 42, n_sents: int = 6) -> List[dict]
 
 PAGES_SCHEMA_DDL = "url string, warc_ts timestamp, html binary, text string, lang string"
 
+# ---- dedup benchmark corpus -------------------------------------------------
+# The driver-provided documents tables draw from a ~20-word vocabulary, so
+# every document shingle-collides with every other — a worst case real web
+# text never exhibits, which makes MinHash benchmarks measure pathology
+# instead of the operating point. This corpus has a Zipfian vocabulary
+# (head + generated long tail, like real webtext) and planted duplicates:
+# per 10-doc block, doc 9 is an exact copy of doc 8's base and doc 8 is a
+# near-dup of doc 0 (every 25th token replaced), so dedup precision/recall
+# is measurable and candidate sets stay realistic.
+
+_DEDUP_VOCAB = [w for w, _ in NOUNS_ALL + PROPNS_ALL + VERBS_ALL]
+
+
+def _zipf_idx(rng: random.Random, n: int) -> int:
+    # heavy-tailed rank draw: p(rank) ~ rank^-1.2, capped at n-1
+    return min(int(rng.paretovariate(1.2)) - 1, n - 1)
+
+
+def _gen_doc_tokens(seed: int, i: int) -> List[str]:
+    rng = _rng_for(seed, "doc", i)
+    n_tokens = 60 + rng.randrange(120)
+    return [_DEDUP_VOCAB[_zipf_idx(rng, len(_DEDUP_VOCAB))] for _ in range(n_tokens)]
+
+
+def gen_dedup_doc(seed: int, i: int) -> dict:
+    block = i - (i % 10)
+    if i % 10 == 9:  # exact duplicate of the block head
+        toks = _gen_doc_tokens(seed, block)
+    elif i % 10 == 8:  # near-duplicate: every 25th token replaced
+        toks = _gen_doc_tokens(seed, block)
+        rng = _rng_for(seed, "mut", i)
+        for j in range(0, len(toks), 25):
+            toks[j] = _DEDUP_VOCAB[rng.randrange(len(_DEDUP_VOCAB))]
+    else:
+        toks = _gen_doc_tokens(seed, i)
+    return {"doc_id": i, "text": " ".join(toks), "source": f"s{i % 7}"}
+
+
+DEDUP_DOCS_SCHEMA_DDL = "doc_id long, text string, source string"
+
+
+def dedup_docs_df(spark, n_docs: int, seed: int = 42, partitions: int | None = None):
+    """Distributed deterministic dedup-benchmark corpus (see block comment)."""
+    from pyspark.sql import Row
+
+    sc = spark.sparkContext
+    partitions = partitions or max(2, sc.defaultParallelism)
+    rdd = sc.parallelize(range(n_docs), partitions).map(
+        lambda i: Row(**gen_dedup_doc(seed, i))
+    )
+    return spark.createDataFrame(rdd, schema=DEDUP_DOCS_SCHEMA_DDL)
+
 
 def pages_df(spark, n_pages: int, seed: int = 42, n_sents: int = 6, partitions: int | None = None):
     """Distributed deterministic generation: the page index range is

@@ -71,19 +71,36 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """(id, signature array<long>) — signature[i] = min over shingles of
-    hash(shingle, i). One explode + one groupBy; the n_hashes mins are
-    column aggregates (map-side partial, no skew amplification)."""
-    shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    hash(shingle, i).
+
+    Signatures are per-document state, so this is a pure narrow projection:
+    one ``aggregate`` fold over the shingle array per row, NO explode, NO
+    shuffle, no wide aggregate. (The previous explode + 64-min-aggregate
+    shape shuffled n_docs·n_shingles rows and paid a ~15-25s one-time janino
+    compile for the 64-column aggregate class — signature computation does
+    not need a groupBy at all.)
+
+    The fold shape matters: a nested ``transform(seeds, i -> array_min(
+    transform(shingles, ...)))`` re-evaluates the O(len²) shingle
+    construction once per seed after Catalyst collapses the projections
+    (measured: minutes instead of seconds at 5k docs). ``aggregate``
+    evaluates its input array exactly once and carries the per-seed minima
+    as the accumulator. Documents with zero shingles are dropped, matching
+    the old aggregate formulation."""
+    LONG_MAX = 9223372036854775807
+    shs = word_shingles(text_col, shingle_n)
+    seeds = F.sequence(F.lit(0), F.lit(n_hashes - 1))  # foldable → literal
+    sig = F.aggregate(
+        F.col("_shs"),
+        F.array_repeat(F.lit(LONG_MAX).cast("long"), n_hashes),
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda m, i: F.least(m, F.xxhash64(s, i))
+        ),
     )
-    aggs = [
-        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
-    ]
-    sig = shingled.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature"),
+    return (
+        df.select(F.col(id_col), shs.alias("_shs"))
+        .filter(F.size("_shs") > 0)
+        .select(F.col(id_col), sig.alias("signature"))
     )
 
 

@@ -51,6 +51,15 @@ def build_session(
         # degree/candidate tables — built single-threaded on the driver —
         # do not (measured as the serial chunk of the graph phase)
         .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        # Exclude wide plans from whole-stage codegen. The node aggregation
+        # carries dim (64+) element-wise vector-sum columns; codegen of that
+        # aggregate generates a method past the JIT's huge-method limit, so
+        # it runs as INTERPRETED BYTECODE — measured slower than Spark's own
+        # non-codegen path (15.7s vs 6.6s warm at sf0.1) — and its one-time
+        # janino compile costs ~25s of the first execution (the 44.9s
+        # kg_graph outlier in BENCH_r01). Narrow hot paths (≤50 fields:
+        # extract, cleaning, joins, dedup) keep codegen.
+        .config("spark.sql.codegen.maxFields", "50")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
