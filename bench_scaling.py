@@ -25,7 +25,10 @@ from pathlib import Path
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
 
-def child(cores: int, pages: int) -> None:
+def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
+    import shutil
+    import tempfile
+
     from pyspark.sql import functions as F
 
     from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
@@ -52,13 +55,42 @@ def child(cores: int, pages: int) -> None:
         "noop"
     ).mode("overwrite").save()
 
-    pages = pages_df(spark, pages, seed=42, n_sents=6, partitions=cores * 6).cache()
-    pages.count()
-
-    import shutil
-    import tempfile
-
     work = tempfile.mkdtemp(prefix=f"scaling{cores}_")
+
+    # Warm the MEASURED plan shapes on a small slice so the spans measure
+    # steady-state work, not HotSpot tier-up of freshly generated classes.
+    # The warmup is identical for both parallelism levels; per-JVM one-time
+    # compilation otherwise lands ~fixed in both legs' walls and reads as
+    # fake anti-scaling at the high-core leg (measured: 4-core edge agg
+    # 13.1s first execution vs 7.6s steady on the same input).
+    warm_pages = pages_df(spark, 400, seed=7, n_sents=6, partitions=cores)
+    warm_t = ok_triples(
+        extract_triples_df(
+            parse_pages(clean_pages(warm_pages, lang="ru")),
+            frozenset(STOPWORDS_FIXTURE),
+            with_vectors=False,
+        )
+    )
+    warm_t.write.mode("overwrite").parquet(f"{work}/warm_triples")
+    warm_l = spark.read.parquet(f"{work}/warm_triples").withColumn(
+        "cluster", F.lit(0)
+    )
+    aggregate_edges(warm_l, max_descriptions=64).write.mode("overwrite").parquet(
+        f"{work}/warm_edges"
+    )
+    with_degrees(
+        aggregate_nodes(warm_l, max_descriptions=64, n_salts=4, dim=0),
+        spark.read.parquet(f"{work}/warm_edges"),
+    ).write.mode("overwrite").parquet(f"{work}/warm_nodes")
+
+    # identical input at both parallelism levels: the deterministic corpus,
+    # pre-generated ONCE to parquet by the parent (generation is pure
+    # Python and would burn hypervisor burst credits inside every rep)
+    if pages_parquet:
+        pages = spark.read.parquet(pages_parquet).cache()
+    else:
+        pages = pages_df(spark, pages, seed=42, n_sents=6, partitions=cores * 6).cache()
+    pages.count()
 
     t0 = time.monotonic()
     cleaned = clean_pages(pages, lang="ru")
@@ -114,9 +146,12 @@ def child(cores: int, pages: int) -> None:
     spark.stop()
 
 
-def run_child(cores: int, pages: int) -> dict:
+def run_child(cores: int, pages: int, pages_parquet: str | None = None) -> dict:
+    cmd = [sys.executable, __file__, "--child", "--cores", str(cores), "--pages", str(pages)]
+    if pages_parquet:
+        cmd += ["--pages-parquet", pages_parquet]
     out = subprocess.run(
-        [sys.executable, __file__, "--child", "--cores", str(cores), "--pages", str(pages)],
+        cmd,
         capture_output=True,
         text=True,
         timeout=1800,
@@ -126,11 +161,27 @@ def run_child(cores: int, pages: int) -> dict:
     return json.loads(line)
 
 
+def ensure_pages_parquet(pages: int, path: str) -> str:
+    """Pre-generate the deterministic corpus once (32-core session)."""
+    if Path(path, "_SUCCESS").is_file():
+        return path
+    from openie_spark.corpus import pages_df
+    from openie_spark.session import build_session
+
+    spark = build_session(app_name="scaling-prep")
+    pages_df(spark, pages, seed=42, n_sents=6, partitions=192).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+    return path
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--child", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--pages", type=int, default=3000)
+    ap.add_argument("--pages-parquet", default=None)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
         "--n-cores", type=int, default=2, help="N in the N vs 4N protocol"
@@ -145,7 +196,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.child:
-        child(args.cores, args.pages)
+        child(args.cores, args.pages, args.pages_parquet)
         return
 
     lo, hi = args.n_cores, 4 * args.n_cores
@@ -156,9 +207,12 @@ def main() -> None:
         for k, v in prior.items():
             if int(k) in results:
                 results[int(k)].extend(v)
+    pages_parquet = args.pages_parquet or ensure_pages_parquet(
+        args.pages, f"/tmp/scaling_pages_{args.pages}"
+    )
     for i in range(args.runs):
         for cores in (hi, lo):  # interleave; 4N first while credits are fresh
-            r = run_child(cores, args.pages)
+            r = run_child(cores, args.pages, pages_parquet)
             results[cores].append(r)
             print(f"run {i} cores={cores}: {r}", file=sys.stderr)
             time.sleep(60)  # cooldown: the VM uses hypervisor burst credits

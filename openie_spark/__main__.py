@@ -6,6 +6,8 @@
 Subcommands:
 - ``run``       batch pipeline over a pages parquet/table path
 - ``demo``      deterministic synthetic corpus end-to-end (no input needed)
+- ``parse``     parse-only: pages → CoNLL-U (EP3, the reference's /parse
+                route, app.py:63-66 — text in, CoNLL-U out, no extraction)
 - ``stream``    streaming clean→parse→extract from a directory source
 - ``package``   build openie_spark.zip for --py-files shipping
 
@@ -42,6 +44,17 @@ def main(argv=None) -> int:
     demo_p.add_argument("--pages-n", type=int, default=500)
     _add_common(demo_p)
 
+    parse_p = sub.add_parser("parse", help="parse-only: pages → CoNLL-U")
+    parse_p.add_argument("--pages", default=None, help="pages parquet path")
+    parse_p.add_argument("--pages-n", type=int, default=None, help="demo corpus size")
+    parse_p.add_argument("--out", required=True)
+    parse_p.add_argument("--lang", default="ru")
+    parse_p.add_argument(
+        "--text-files",
+        action="store_true",
+        help="also write one .conllu file per page (driver-side, small outputs)",
+    )
+
     stream_p = sub.add_parser("stream", help="streaming triple extraction")
     stream_p.add_argument("--source", required=True)
     stream_p.add_argument("--out", required=True)
@@ -59,6 +72,32 @@ def main(argv=None) -> int:
     from .session import build_session
 
     spark = build_session(app_name=f"openie-{args.cmd}")
+
+    if args.cmd == "parse":
+        from .corpus import pages_df
+        from .parse import parse_pages
+        from .sinks import conllu_df
+        from .textclean import clean_pages
+
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            pages = pages_df(spark, args.pages_n or 500, seed=42, n_sents=6)
+        out_df = conllu_df(parse_pages(clean_pages(pages, lang=args.lang)))
+        out_df.write.mode("overwrite").parquet(f"{args.out}/conllu")
+        n = spark.read.parquet(f"{args.out}/conllu").count()
+        print(f"conllu_pages={n} written: {args.out}/conllu")
+        if args.text_files:
+            import re
+            from pathlib import Path
+
+            d = Path(args.out, "files")
+            d.mkdir(parents=True, exist_ok=True)
+            for r in spark.read.parquet(f"{args.out}/conllu").collect():
+                safe = re.sub(r"[^A-Za-z0-9._-]", "_", r["url"])[-120:]
+                (d / f"{safe}.conllu").write_text(r["conllu"], encoding="utf-8")
+            print(f"files: {d}")
+        return 0
 
     if args.cmd == "stream":
         from .streaming import read_pages_stream, start_triples_sink, stream_triples

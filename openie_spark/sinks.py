@@ -110,12 +110,73 @@ def write_graph_tables(
     )
 
 
+GEXF_NS = "http://www.gexf.net/1.1draft"
+GEXF_VIZ_NS = "http://www.gexf.net/1.1draft/viz"
+
+# relation-node colors by label kind (/root/reference/relations.py:901-907)
+_REL_COLORS = {
+    IS_A: ("255", "160", "160"),
+    RELATES_TO: ("160", "255", "160"),
+}
+_DEFAULT_REL_COLOR = ("0", "0", "255")
+
+_NODE_ATTRS = [
+    ("description", "string"),
+    ("weight", "long"),
+    ("feat_type", "string"),
+    ("node_type", "string"),
+    ("lemmas", "string"),
+    ("deprel", "string"),
+]
+
+
+def write_graph_tables_iceberg(
+    nodes_df: DataFrame,
+    edges_df: DataFrame,
+    table_prefix: str,
+    buckets: int = 16,
+) -> None:
+    """Iceberg table writes with hidden bucket partitioning — the north
+    star's partitioned nodes/edges tables:
+
+        df.writeTo(f"{prefix}_nodes").partitionedBy(bucket(N, lemma_key))
+
+    Requires an Iceberg catalog configured on the session
+    (``spark.sql.catalog.<name>`` + iceberg-spark-runtime jar). This
+    sandbox has NO such jar and no network to fetch one (attempt dated in
+    SCALE.md), so the parquet layout in ``write_graph_tables`` is the
+    tested stand-in; this function is the one-line-swap production path,
+    exercised in tests up to Spark's catalog-resolution error."""
+    from pyspark.sql.functions import bucket, col
+
+    (
+        nodes_df.writeTo(f"{table_prefix}_nodes")
+        .partitionedBy(bucket(buckets, col("lemma_key")))
+        .createOrReplace()
+    )
+    (
+        edges_df.writeTo(f"{table_prefix}_edges")
+        .partitionedBy(bucket(buckets, col("src")))
+        .createOrReplace()
+    )
+
+
 def export_gexf(nodes_df: DataFrame, edges_df: DataFrame, path: str, max_nodes: int = 50000) -> None:
-    """Small-graph GEXF export with the reference's bipartite reification:
-    each edge becomes a ``label(src; dst)`` relation-node with two plain
-    edges; relation-node weight = min(endpoint weights)
-    (/root/reference/relations.py:894-915). Driver-side by design — GEXF is
-    a visualization format, not a data path."""
+    """Small-graph GEXF export with the reference's bipartite reification
+    and viz scheme (/root/reference/relations.py:894-956):
+
+    - each edge becomes a ``label(src; dst)`` relation-node with two plain
+      edges; relation-node weight = min(endpoint weights);
+    - relation nodes carry a ``viz:color`` by label kind — ``_is_a_``
+      salmon (255,160,160), ``_relates_to_`` green (160,255,160), every
+      real relation blue (0,0,255);
+    - node attributes are declared with id == title and values emitted as
+      ``attvalues`` (the reference post-processes networkx output into this
+      shape in ``_fix_gexf``; we emit it directly).
+
+    Driver-side by design — GEXF is a visualization format, not a data
+    path. Semantic parity with the reference's ``save()`` is asserted in
+    tests/test_sinks_gexf.py on a shared fixture graph."""
     nodes = nodes_df.limit(max_nodes).collect()
     keep = {r["lemma_key"] for r in nodes}
     edges = [
@@ -125,25 +186,48 @@ def export_gexf(nodes_df: DataFrame, edges_df: DataFrame, path: str, max_nodes: 
     ]
     weights = {r["lemma_key"]: r["weight"] for r in nodes}
 
-    NS = "http://www.gexf.net/1.1draft"
-    ET.register_namespace("", NS)
-    root = ET.Element(f"{{{NS}}}gexf", version="1.1")
-    graph = ET.SubElement(root, f"{{{NS}}}graph", defaultedgetype="directed")
-    nodes_el = ET.SubElement(graph, f"{{{NS}}}nodes")
-    edges_el = ET.SubElement(graph, f"{{{NS}}}edges")
-
-    def add_node(nid: str, label: str, node_type: str, weight: int):
+    ET.register_namespace("", GEXF_NS)
+    ET.register_namespace("viz", GEXF_VIZ_NS)
+    root = ET.Element(f"{{{GEXF_NS}}}gexf", version="1.1")
+    graph = ET.SubElement(
+        root, f"{{{GEXF_NS}}}graph", defaultedgetype="directed", mode="static"
+    )
+    attrs_el = ET.SubElement(
+        graph, f"{{{GEXF_NS}}}attributes", mode="static", **{"class": "node"}
+    )
+    for title, typ in _NODE_ATTRS:
         ET.SubElement(
-            nodes_el,
-            f"{{{NS}}}node",
-            id=nid,
-            label=label or nid,
-            weight=str(weight),
-            node_type=node_type,
+            attrs_el, f"{{{GEXF_NS}}}attribute", id=title, title=title, type=typ
         )
+    nodes_el = ET.SubElement(graph, f"{{{GEXF_NS}}}nodes")
+    edges_el = ET.SubElement(graph, f"{{{GEXF_NS}}}edges")
+
+    def join_set(vals) -> str:
+        return " | ".join(str(v) for v in (vals or []))
+
+    def add_node(nid, label, attvalues, color=None):
+        el = ET.SubElement(nodes_el, f"{{{GEXF_NS}}}node", id=nid, label=label or nid)
+        if color is not None:
+            r, g, b = color
+            ET.SubElement(el, f"{{{GEXF_VIZ_NS}}}color", r=r, g=g, b=b)
+        av = ET.SubElement(el, f"{{{GEXF_NS}}}attvalues")
+        for k, v in attvalues:
+            if v is not None:
+                ET.SubElement(
+                    av, f"{{{GEXF_NS}}}attvalue", **{"for": k, "value": str(v)}
+                )
 
     for r in nodes:
-        add_node(r["lemma_key"], r["label"], "argument", r["weight"])
+        add_node(
+            r["lemma_key"],
+            r["label"],
+            [
+                ("description", join_set(r["descriptions"])),
+                ("weight", r["weight"]),
+                ("feat_type", join_set(r["clusters"])),
+                ("node_type", "argument"),
+            ],
+        )
 
     eid = 0
     for e in edges:
@@ -151,11 +235,18 @@ def export_gexf(nodes_df: DataFrame, edges_df: DataFrame, path: str, max_nodes: 
         add_node(
             rel_id,
             e["label"],
-            "relation",
-            min(weights[e["src"]], weights[e["dst"]]),
+            [
+                ("lemmas", e["lemmas"]),
+                ("deprel", e["deprel"]),
+                ("description", join_set(e["descriptions"])),
+                ("weight", min(weights[e["src"]], weights[e["dst"]])),
+                ("feat_type", join_set(e["clusters"])),
+                ("node_type", "relation"),
+            ],
+            color=_REL_COLORS.get(e["label"], _DEFAULT_REL_COLOR),
         )
         for s, t in ((e["src"], rel_id), (rel_id, e["dst"])):
-            ET.SubElement(edges_el, f"{{{NS}}}edge", id=str(eid), source=s, target=t)
+            ET.SubElement(edges_el, f"{{{GEXF_NS}}}edge", id=str(eid), source=s, target=t)
             eid += 1
 
     ET.ElementTree(root).write(path, encoding="utf-8", xml_declaration=True)
