@@ -243,19 +243,26 @@ def aggregate_edges(
 def with_degrees(nodes_df: DataFrame, edges_df: DataFrame) -> DataFrame:
     """Attach degree_in / degree_out / frequency aggregates to nodes.
 
-    Degree tables are tiny relative to edges (one row per distinct endpoint)
-    and usually broadcastable; at full scale AQE picks the join strategy.
+    One aggregation over exploded endpoints + one join — not a groupBy per
+    direction + two joins, which costs 2 extra exchanges and scans edges
+    twice. The degree table has one row per distinct endpoint; at full
+    scale AQE picks the join strategy (it is far over any broadcast
+    threshold at web scale).
     """
-    out_deg = edges_df.groupBy(F.col("src").alias("lemma_key")).agg(
-        F.count(F.lit(1)).alias("degree_out"),
-        F.sum("weight").alias("out_weight"),
+    is_out = F.col("is_out")
+    ends = edges_df.select(
+        F.col("src").alias("lemma_key"), F.lit(1).alias("is_out"), "weight"
+    ).unionByName(
+        edges_df.select(
+            F.col("dst").alias("lemma_key"), F.lit(0).alias("is_out"), "weight"
+        )
     )
-    in_deg = edges_df.groupBy(F.col("dst").alias("lemma_key")).agg(
-        F.count(F.lit(1)).alias("degree_in"),
-        F.sum("weight").alias("in_weight"),
+    deg = ends.groupBy("lemma_key").agg(
+        F.sum(is_out).cast("long").alias("degree_out"),
+        F.sum(F.when(is_out == 1, F.col("weight")).otherwise(0)).alias("out_weight"),
+        F.sum(1 - is_out).cast("long").alias("degree_in"),
+        F.sum(F.when(is_out == 0, F.col("weight")).otherwise(0)).alias("in_weight"),
     )
-    return (
-        nodes_df.join(out_deg, "lemma_key", "left")
-        .join(in_deg, "lemma_key", "left")
-        .fillna(0, subset=["degree_in", "degree_out", "out_weight", "in_weight"])
+    return nodes_df.join(deg, "lemma_key", "left").fillna(
+        0, subset=["degree_in", "degree_out", "out_weight", "in_weight"]
     )
