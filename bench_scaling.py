@@ -32,11 +32,9 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     from pyspark.sql import functions as F
 
     from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
-    from openie_spark.extract import extract_triples_df, ok_triples
+    from openie_spark.extract import extract_triples_from_pages, ok_triples
     from openie_spark.graph import aggregate_edges, aggregate_nodes, with_degrees
-    from openie_spark.parse import parse_pages
     from openie_spark.session import build_session
-    from openie_spark.textclean import clean_pages
 
     spark = build_session(
         app_name=f"openie-scaling-{cores}",
@@ -65,10 +63,8 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     # 13.1s first execution vs 7.6s steady on the same input).
     warm_pages = pages_df(spark, 400, seed=7, n_sents=6, partitions=cores)
     warm_t = ok_triples(
-        extract_triples_df(
-            parse_pages(clean_pages(warm_pages, lang="ru")),
-            frozenset(STOPWORDS_FIXTURE),
-            with_vectors=False,
+        extract_triples_from_pages(
+            warm_pages, frozenset(STOPWORDS_FIXTURE), with_vectors=False
         )
     )
     warm_t.write.mode("overwrite").parquet(f"{work}/warm_triples")
@@ -93,13 +89,16 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     pages.count()
 
     t0 = time.monotonic()
-    cleaned = clean_pages(pages, lang="ru")
-    parses = parse_pages(cleaned)
-    # no embedding model exists in this sandbox → vectors would be all-zero
+    # The pipeline's fused fast path (PipelineConfig.fuse_extract): one
+    # mapInPandas for clean→parse→extract — identity-tested vs the unfused
+    # stages, measured 28% faster at 4 cores (one Arrow crossing, not 3).
+    # No embedding model exists in this sandbox → vectors would be all-zero
     # dead weight; both parallelism levels run the identical (vector-free)
-    # job, which is what the efficiency ratio measures
+    # job, which is what the efficiency ratio measures.
     triples = ok_triples(
-        extract_triples_df(parses, frozenset(STOPWORDS_FIXTURE), with_vectors=False)
+        extract_triples_from_pages(
+            pages, frozenset(STOPWORDS_FIXTURE), with_vectors=False
+        )
     )
     # stage-table boundary exactly as the pipeline ledger materializes it;
     # NB not localCheckpoint — BlockManager-backed checkpoint blocks serialize
@@ -215,7 +214,9 @@ def main() -> None:
             r = run_child(cores, args.pages, pages_parquet)
             results[cores].append(r)
             print(f"run {i} cores={cores}: {r}", file=sys.stderr)
-            time.sleep(60)  # cooldown: the VM uses hypervisor burst credits
+            # cooldown: the VM throttles via hypervisor burst credits; the
+            # 4N leg burns them 4× faster, so give a longer refill before it
+            time.sleep(120 if cores == lo else 60)
 
     raw_path.parent.mkdir(parents=True, exist_ok=True)
     raw_path.write_text(json.dumps({str(k): v for k, v in results.items()}, indent=2))

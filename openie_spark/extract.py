@@ -108,6 +108,16 @@ def _extract_one(tokens, sent_text, stops, vecs, dim, additional, with_vectors):
     upos = [t["upostag"] for t in tokens]
     heads = [t["head"] for t in tokens]
     deprels = [t["deprel"] for t in tokens]
+    return _extract_arrays(
+        forms, lemmas, upos, heads, deprels, sent_text, stops, vecs, dim,
+        additional, with_vectors,
+    )
+
+
+def _extract_arrays(
+    forms, lemmas, upos, heads, deprels, sent_text, stops, vecs, dim,
+    additional, with_vectors,
+):
     sent = Sent(forms, lemmas, upos, heads, deprels, text=sent_text)
 
     triples = extract_triples(sent, stops, additional_relations=additional)
@@ -172,3 +182,73 @@ def _error_row(msg: str) -> dict:
 def ok_triples(triples_df):
     """Drop error rows (kept for lineage accounting)."""
     return triples_df.filter(F.col("error").isNull()).drop("error")
+
+
+def extract_triples_from_pages(
+    pages_df,
+    stopwords: frozenset,
+    page_parser=None,
+    embedding_dict: Optional[Dict[str, np.ndarray]] = None,
+    dim: int = 64,
+    additional_relations: bool = True,
+    with_vectors: bool = True,
+    lang: Optional[str] = "ru",
+):
+    """Fused clean→parse→extract: pages → triples in ONE mapInPandas stage.
+
+    Identical output to
+    ``extract_triples_df(parse_pages(clean_pages(pages, lang)), ...)``
+    (identity-tested in tests/test_extract_spark.py), but the page text and
+    the token structs never cross the JVM↔Python boundary twice — three
+    Arrow serialization round trips become one. This is the pipeline's fast
+    path when no parse-stage checkpoint is requested
+    (``PipelineConfig.fuse_extract``); with a work_dir the unfused stages
+    materialize parses for resume, which is worth the extra crossings.
+
+    The lang filter stays JVM-side before the projection so it pushes into
+    the scan exactly as in clean_pages.
+    """
+    from .parse import template_parse_page
+    from .textclean import clean_page
+
+    parser = page_parser or template_parse_page
+    df = pages_df
+    if lang is not None:
+        df = df.filter(F.col("lang") == lang)
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    b_stop = sc.broadcast(frozenset(stopwords))
+    b_vecs = sc.broadcast(embedding_dict or {})
+
+    def run(batches):
+        stops = b_stop.value
+        vecs = b_vecs.value
+        for pdf in batches:
+            out = {c: [] for c in _COLS}
+            for url, html_bytes, text in zip(
+                pdf["url"].tolist(), pdf["html"].tolist(), pdf["text"].tolist()
+            ):
+                clean = clean_page(url, html_bytes, text)
+                for sent_id, (sent_text, tokens) in enumerate(parser(url, clean)):
+                    try:
+                        rows = _extract_arrays(
+                            [t[1] for t in tokens],
+                            [t[2] for t in tokens],
+                            [t[3] for t in tokens],
+                            [t[6] for t in tokens],
+                            [t[7] for t in tokens],
+                            sent_text, stops, vecs, dim,
+                            additional_relations, with_vectors,
+                        )
+                    except Exception as exc:
+                        rows = [_error_row(type(exc).__name__ + ": " + str(exc)[:200])]
+                    for r in rows:
+                        out["url"].append(url)
+                        out["sent_id"].append(sent_id)
+                        out["sent_text"].append(sent_text)
+                        for k, v in r.items():
+                            out[k].append(v)
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return df.select("url", "html", "text").mapInPandas(run, schema=TRIPLE_SCHEMA)

@@ -53,6 +53,12 @@ class PipelineConfig:
     skip_merge: bool = False
     work_dir: Optional[str] = None
     max_descriptions: Optional[int] = None
+    # Fuse clean→parse→extract into one mapInPandas (one JVM↔Python
+    # crossing instead of three). Only takes effect WITHOUT a work_dir —
+    # checkpointed runs materialize the parse stage for resume, which is
+    # worth the extra crossings. Output is identity-tested vs the unfused
+    # stages. Off by default: the unfused plan keeps per-stage lineage.
+    fuse_extract: bool = False
 
     def fingerprint(self) -> str:
         import hashlib
@@ -100,16 +106,29 @@ def run_pipeline(
     parses = stage("parses", lambda: parse_pages(cleaned, page_parser))
     out["parses"] = parses
 
-    triples_all = stage(
-        "triples",
-        lambda: extract_triples_df(
-            parses,
+    if cfg.fuse_extract and ledger is None:
+        from .extract import extract_triples_from_pages
+
+        triples_all = extract_triples_from_pages(
+            pages,
             frozenset(cfg.stopwords),
+            page_parser=page_parser,
             embedding_dict=embedding_dict,
             dim=cfg.dim,
             additional_relations=cfg.additional_relations,
-        ),
-    )
+            lang=cfg.lang,
+        )
+    else:
+        triples_all = stage(
+            "triples",
+            lambda: extract_triples_df(
+                parses,
+                frozenset(cfg.stopwords),
+                embedding_dict=embedding_dict,
+                dim=cfg.dim,
+                additional_relations=cfg.additional_relations,
+            ),
+        )
     out["triples_raw"] = triples_all
     triples = ok_triples(triples_all)
     out["triples"] = triples

@@ -94,3 +94,54 @@ def test_parse_stage_recovers_generated_trees(spark):
         assert got == tokens
         checked += 1
     assert checked > 0
+
+
+def test_fused_extract_identity(spark):
+    """extract_triples_from_pages (one mapInPandas) must equal the unfused
+    clean→parse→extract stages row-for-row, vectors included."""
+    from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
+    from openie_spark.extract import (
+        extract_triples_df,
+        extract_triples_from_pages,
+        ok_triples,
+    )
+    from openie_spark.parse import parse_pages
+    from openie_spark.textclean import clean_pages
+
+    pages = pages_df(spark, 60, seed=3)
+    stops = frozenset(STOPWORDS_FIXTURE)
+    unfused = ok_triples(
+        extract_triples_df(
+            parse_pages(clean_pages(pages, lang="ru")), stops, dim=8
+        )
+    )
+    fused = ok_triples(
+        extract_triples_from_pages(pages, stops, dim=8, lang="ru")
+    )
+    cols = [
+        "url", "sent_id", "sent_text", "left_arg", "left_arg_lemmas",
+        "relation", "relation_lemmas", "right_arg", "right_arg_lemmas",
+        "right_deprel",
+    ]
+
+    def snap(df):
+        return sorted(
+            (
+                *[r[c] for c in cols],
+                tuple(r["left_vec"]), tuple(r["right_vec"]), tuple(r["sent_vec"]),
+            )
+            for r in df.collect()
+        )
+
+    assert snap(unfused) == snap(fused)
+
+
+def test_fused_extract_lang_pushdown(spark, tmp_path):
+    from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
+    from openie_spark.extract import extract_triples_from_pages
+
+    pages_df(spark, 30, seed=1).write.parquet(str(tmp_path / "pages"))
+    pages = spark.read.parquet(str(tmp_path / "pages"))
+    df = extract_triples_from_pages(pages, frozenset(STOPWORDS_FIXTURE), lang="ru")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "EqualTo(lang,ru)" in plan
