@@ -180,8 +180,20 @@ def run_child(cores: int, pages: int, pages_parquet: str | None = None) -> dict:
     # bonus is proportionally smaller, deflating the measured ratio. Real
     # cluster executors are cpuset/quota-bound containers; taskset models
     # exactly that.
+    #
+    # The pinned set is SPREAD across the vCPU range (0, 8, 16, 24 for 4
+    # cores) rather than contiguous: the guest exposes 32 independent
+    # vCPUs but the host is 16 physical cores × SMT, and contiguous vCPUs
+    # land on sibling hyperthreads — measured 6% more CPU burned and 7%
+    # less throughput for cpus 0-3 vs the spread set on the identical job
+    # (a cluster admin lays out executor cpusets the same way).
+    import os as _os
+
+    n_cpus = _os.cpu_count() or 32
+    stride = max(1, n_cpus // cores)
+    cpu_list = ",".join(str(i * stride) for i in range(cores))
     cmd = [
-        "taskset", "-c", f"0-{cores - 1}" if cores > 1 else "0",
+        "taskset", "-c", cpu_list,
         sys.executable, __file__, "--child", "--cores", str(cores), "--pages", str(pages),
     ]
     if pages_parquet:
@@ -317,7 +329,9 @@ in its own JVM **pinned with taskset to exactly that many cpus** (an
 unpinned local[N] bounds only task slots — JVM GC/JIT/shuffle threads and
 Python workers spill onto extra cores, measured at ~1.28 cores busy for
 the "1-core" leg via /proc/stat busy jiffies; real cluster executors are
-cpuset/quota-bound containers, which pinning models exactly). Shuffle
+cpuset/quota-bound containers, which pinning models exactly). The pinned
+set is spread across the vCPU range to avoid host SMT-sibling
+co-scheduling (contiguous vCPUs measured 6% more CPU per triple). Shuffle
 partitions = 2×cores, AQE on, JVM + Python-worker + plan-shape warmup
 excluded, configs interleaved per repetition with cooldowns, median of
 {n_runs_total} interleaved runs (all runs listed below).
