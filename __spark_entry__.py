@@ -3,12 +3,17 @@
 - ``entry(spark)``  — flagship KG-construction pipeline on sf0.001.
 - ``queries()``     — one callable per implemented operator (SURVEY.md §2
   plus the dataops training-data operators); each takes (spark, sf_dir).
-- ``oracle_sql()``  — DuckDB-equivalent ANSI SQL for each SQL-expressible
-  query, over the pre-registered parquet views. Non-SQL-expressible ops
-  (dependency parsing, rule extraction, MinHash banding, SimHash) have no
-  oracle entry → the driver records rows-only checks; their correctness is
-  enforced by the pytest suite against the live reference implementation
-  (tests/test_rules*.py, tests/test_graph.py — P=R=1.0 triple parity).
+- ``oracle_sql()``  — DuckDB-equivalent ANSI SQL for EVERY query (22/22).
+  Non-SQL-expressible hash families (dependency parsing + rule extraction,
+  SimHash/hyperplane bucketing) are oracled via checked-in goldens produced
+  by independent second implementations: the LIVE reference repo for the
+  KG pipeline (tools/make_goldens.py) and Spark-free pure-Python/numpy for
+  the dataops hash families (tools/make_dataops_goldens.py). The formerly
+  approximate queries are exact-checkable because their verify stages make
+  precision 1 by construction and their candidate recall is either
+  guaranteed (simhash pigeonhole) or exactly 1 on the driver corpus
+  (minhash banding, pytest-pinned) or part of the contract (ann_lsh:
+  bucket-restricted top-k, buckets independently recomputed).
 
 Column-name and value-representation discipline: every computed column is
 aliased identically in the Spark plan and the SQL; every float is emitted
@@ -307,8 +312,15 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    # scale-path ANN: rows-only check (approximate by construction; recall
-    # vs brute force is pytest-asserted on planted neighbors)
+    """Scale-path ANN. Exact-oracled: the hyperplane hash family is
+    deterministic (seeded), so the bucket-restricted candidate set is a
+    fixed, reproducible subset — the oracle recomputes the buckets with an
+    INDEPENDENT pure-numpy implementation (tools/make_dataops_goldens.py,
+    goldens/dataops_sf001/ann_buckets.parquet) and takes the exact cosine
+    top-k over the same candidates in SQL. This checks the whole Spark path
+    (Arrow-batched bucketing UDF, multiprobe filter, TakeOrdered) to full
+    value-hash equality; recall vs unrestricted brute force remains
+    approximate by construction and is pytest-bounded separately."""
     from openie_spark.dataops.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -319,6 +331,14 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """Exact-oracled: the operator's contract is LSH-candidates verified by
+    EXACT shingle Jaccard ≥ threshold, so precision is 1 by construction,
+    and on this corpus at these parameters (n_hashes=32, bands=8 → 4-row
+    bands, t≈0.6) banding recall over the J≥0.6 pair set is exactly 1
+    (pytest-pinned in test_entry.py) — the output therefore equals the full
+    all-pairs exact-Jaccard ≥ 0.6 set, which the oracle computes directly
+    in SQL via a shared-shingle candidate join. A banding recall miss or a
+    max_bucket drop of a true pair would surface as a driver hash mismatch."""
     from openie_spark.dataops.dedup import minhash_lsh_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -328,6 +348,13 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
+    """Exact-oracled: pigeonhole banding (n_bands = max_hamming+1) has
+    guaranteed recall and candidates are popcount-verified, so the output
+    is EXACTLY the all-pairs hamming ≤ k set. The oracle recomputes the
+    signatures with an independent pure-Python SimHash implementation
+    (tools/make_dataops_goldens.py → goldens/dataops_sf001/
+    simhash_sigs.parquet) and derives the pair set with DuckDB
+    xor + bit_count — full value-hash equality, no approximation left."""
     from openie_spark.dataops.dedup import simhash_neardup_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -411,6 +438,10 @@ def oracle_sql() -> dict[str, str]:
     # reference-derived goldens (tools/make_goldens.py; 500-page corpus =
     # the documents count at the driver's correctness sf)
     G_TRIPLES = "'/root/repo/goldens/p500/triples.parquet'"
+    # independent-reimplementation goldens (tools/make_dataops_goldens.py)
+    G_SIMHASH = "'/root/repo/goldens/dataops_sf001/simhash_sigs.parquet'"
+    G_ANN_BUCKETS = "'/root/repo/goldens/dataops_sf001/ann_buckets.parquet'"
+    G_ANN_PROBES = "'/root/repo/goldens/dataops_sf001/ann_probe_buckets.parquet'"
     # shared CTE: A2 edge aggregation over the golden triples. Grouped by
     # (src, dst, edge_key) ONLY — two surface relations sharing lemmas
     # (inflections) share one edge. A non-literal edge always has a
@@ -655,12 +686,70 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) * 1e6)::BIGINT AS value_micros
             FROM events GROUP BY event_type
         """,
-        # ann_lsh_topk, minhash_dedup, simhash_dedup: no SQL oracle —
-        # approximate by construction (candidate recall depends on the
-        # banding/bucketing hash family, which DuckDB cannot reproduce);
-        # rows-only checks here. Their quality bounds are pytest-asserted
-        # (planted-neighbor recall, pigeonhole hamming coverage), and the
-        # exact-Jaccard verify stage they share IS oracled (ngram_jaccard).
+        # The three formerly-gray approximate queries, now exact-oracled
+        # (see each query's docstring for why equality holds):
+        # - ann_lsh_topk: bucket membership from an independent pure-numpy
+        #   reimplementation of the seeded hyperplane family (goldens/
+        #   dataops_sf001), exact cosine top-k over those candidates.
+        "ann_lsh_topk": f"""
+            WITH cand AS (
+              SELECT e.vec_id, e.embedding
+              FROM embeddings e
+              JOIN {G_ANN_BUCKETS} b USING (vec_id)
+              WHERE b.bucket IN (SELECT bucket FROM {G_ANN_PROBES})
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) * 1e4)::BIGINT AS cosine_e4
+            FROM cand
+            ORDER BY list_cosine_similarity(embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 20
+        """,
+        # - minhash_dedup: output == ALL pairs with exact shingle Jaccard
+        #   ≥ 0.6 (precision exact by the verify stage; banding recall 1 on
+        #   this corpus, pytest-pinned) — computed directly in SQL.
+        "minhash_dedup": f"""
+            WITH base AS (
+              SELECT doc_id, {toks} AS tk FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(tk) - 3, 0)),
+                       i -> array_to_string(tk[i + 1 : i + 3], ' ')
+                     )) AS shs
+              FROM base WHERE len(tk) > 0
+            ),
+            expl AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+            ),
+            jac AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                       AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, round(jaccard * 1e6)::BIGINT AS jaccard_micros
+            FROM jac WHERE jaccard >= 0.6
+        """,
+        # - simhash_dedup: output == ALL pairs at hamming ≤ 6 (pigeonhole
+        #   recall + popcount verify); signatures from an independent
+        #   pure-Python SimHash, hamming via DuckDB xor + bit_count.
+        "simhash_dedup": f"""
+            WITH s AS (SELECT * FROM {G_SIMHASH}),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     bit_count(xor(a.simhash, b.simhash)) AS hamming
+              FROM s a JOIN s b ON a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 6
+        """,
     }
 
 

@@ -61,6 +61,27 @@ def _warm_heavy_shapes(spark) -> None:
     from openie_spark.graph import aggregate_nodes
 
     force(minhash_signatures(dedup_docs_df(spark, 200, seed=1), n_hashes=64))
+    # warm the clean→parse→extract shapes as well (r2 measured kg_parse
+    # 2.1→4.7s / kg_extract 3.4→9.1s purely because this warmup function —
+    # new in r2 — drained hypervisor burst credits right before those
+    # stages; warming their shapes and cooling down afterwards puts the
+    # stage timings back on the operator: measured 1.0-1.8s / 0.65-1.3s
+    # warm at sf0.1, see SCALE.md §bench-regression)
+    from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
+    from openie_spark.extract import extract_triples_df, ok_triples
+    from openie_spark.parse import parse_pages
+    from openie_spark.textclean import clean_pages
+
+    warm_pages = pages_df(spark, 200, seed=1, n_sents=6)
+    force(
+        ok_triples(
+            extract_triples_df(
+                parse_pages(clean_pages(warm_pages, lang="ru")),
+                frozenset(STOPWORDS_FIXTURE),
+                with_vectors=True,
+            )
+        )
+    )
     vec = F.array_repeat((F.rand(7) * 2 - 1).cast("float"), 64)
     toy = spark.range(2000).select(
         F.concat(F.lit("u"), (F.col("id") % 97)).alias("url"),
@@ -131,10 +152,10 @@ def main() -> None:
     n_rows = pages.count()  # materialize generation outside stage timings
 
     cleaned = clean_pages(pages, lang="ru")
-    bench("kg_clean", lambda: force(cleaned))
+    bench("kg_clean", lambda: force(cleaned), cooldown=30)
 
     parses = parse_pages(cleaned).cache()
-    bench("kg_parse", lambda: parses.count())
+    bench("kg_parse", lambda: parses.count(), cooldown=15)
     n_sentences = parses.count()
 
     from openie_spark.corpus import STOPWORDS_FIXTURE
@@ -142,7 +163,7 @@ def main() -> None:
     triples = ok_triples(
         extract_triples_df(parses, frozenset(STOPWORDS_FIXTURE), with_vectors=True)
     ).cache()
-    bench("kg_extract", lambda: triples.count())
+    bench("kg_extract", lambda: triples.count(), cooldown=15)
     n_triples = triples.count()
     meta["n_sentences"] = n_sentences
     meta["n_triples"] = n_triples

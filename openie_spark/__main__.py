@@ -88,14 +88,18 @@ def main(argv=None) -> int:
         n = spark.read.parquet(f"{args.out}/conllu").count()
         print(f"conllu_pages={n} written: {args.out}/conllu")
         if args.text_files:
+            import hashlib
             import re
             from pathlib import Path
 
             d = Path(args.out, "files")
             d.mkdir(parents=True, exist_ok=True)
             for r in spark.read.parquet(f"{args.out}/conllu").collect():
+                # distinct urls can share a sanitized 120-char suffix; a
+                # stable hash of the full url keeps filenames collision-free
                 safe = re.sub(r"[^A-Za-z0-9._-]", "_", r["url"])[-120:]
-                (d / f"{safe}.conllu").write_text(r["conllu"], encoding="utf-8")
+                tag = hashlib.sha1(r["url"].encode("utf-8")).hexdigest()[:8]
+                (d / f"{safe}-{tag}.conllu").write_text(r["conllu"], encoding="utf-8")
             print(f"files: {d}")
         return 0
 

@@ -366,6 +366,7 @@ def embedding_neardup_pairs(
     min_cosine: float = 0.95,
     n_planes: int = 8,
     seed: int = 42,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within a blocking key (exact within
     block). When ``blocking_col`` is None, the blocker defaults to
@@ -381,13 +382,22 @@ def embedding_neardup_pairs(
     if blocking_col is None:
         from .similarity import hyperplane_buckets
 
-        first = emb_df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
-            return emb_df.sparkSession.createDataFrame(
-                [], "id_a long, id_b long, cosine double"
+        if dim is None:
+            # probe costs one extra Spark job; pass dim explicitly to skip it
+            first = emb_df.select(F.size(F.col(vec_col)).alias("d")).first()
+            if first is None:
+                return emb_df.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine double"
+                )
+            dim = first["d"]
+        if dim is None or dim <= 0:
+            raise ValueError(
+                f"embedding_neardup_pairs: vector dim resolved to {dim!r} — "
+                f"first {vec_col!r} row is NULL/empty; pass dim= explicitly "
+                "or clean null vectors upstream"
             )
         emb_df = hyperplane_buckets(
-            emb_df, dim=first["d"], n_planes=n_planes, seed=seed,
+            emb_df, dim=dim, n_planes=n_planes, seed=seed,
             id_col=id_col, vec_col=vec_col,
         )
         blocking_col = "bucket"

@@ -60,6 +60,15 @@ class MergeConfig:
     strict_parity: bool = False  # reproduce the reference's in-edge drop
     n_salts: int = 8
     dim: Optional[int] = None  # vector width; None → one-row peek
+    # Reliable per-round checkpointing for the DataFrame fixpoint: when set,
+    # each round materializes to parquet stage tables under this directory
+    # instead of localCheckpoint. localCheckpoint blocks live on executors —
+    # on a real cluster one lost executor mid-fixpoint kills the job, and
+    # its blocks serialize concurrent readers (SCALE.md §4). The post-agg
+    # graph is small relative to the corpus, so the parquet round-trip is
+    # cheap insurance; pipeline.run_pipeline wires this automatically when a
+    # work_dir is configured.
+    checkpoint_dir: Optional[str] = None
 
 
 def _dot(u: F.Column, v: F.Column) -> F.Column:
@@ -484,9 +493,22 @@ def merge_fixpoint(
         if n_count + e_count <= local_threshold:
             return _merge_fixpoint_via_driver(nodes, edges, cfg)
 
+    spark = nodes.sparkSession
+    seq = iter(range(10_000))
+
+    def ckpt(df: DataFrame, name: str) -> DataFrame:
+        """Cut lineage per round: localCheckpoint (fast, executor-block-
+        backed) by default; durable parquet stage tables when
+        cfg.checkpoint_dir is set (cluster-grade fault tolerance)."""
+        if cfg.checkpoint_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{cfg.checkpoint_dir}/merge_rounds/{next(seq):04d}_{name}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     rounds = 0
-    nodes = nodes.localCheckpoint(eager=True)
-    edges = edges.localCheckpoint(eager=True)
+    nodes = ckpt(nodes, "nodes_init")
+    edges = ckpt(edges, "edges_init")
     while rounds < cfg.max_rounds:
         rounds += 1
         progressed = False
@@ -494,12 +516,12 @@ def merge_fixpoint(
         mapping = find_node_mapping(nodes, edges, cfg).cache()
         if not mapping.isEmpty():
             nodes, edges = apply_node_mapping(nodes, edges, mapping, cfg)
-            nodes = nodes.localCheckpoint(eager=True)
-            edges = edges.localCheckpoint(eager=True)
+            nodes = ckpt(nodes, "nodes")
+            edges = ckpt(edges, "edges")
             progressed = True
         mapping.unpersist()
 
-        new_edges = merge_parallel_edges(edges).localCheckpoint(eager=True)
+        new_edges = ckpt(merge_parallel_edges(edges), "edges_par")
         if new_edges.filter(F.col("changed") == 1).isEmpty():
             edges = new_edges.drop("changed")
         else:

@@ -168,7 +168,14 @@ def run_pipeline(
     )
 
     if not cfg.skip_merge:
-        mcfg = MergeConfig(strict_parity=cfg.strict_parity, n_salts=cfg.n_salts, dim=cfg.dim)
+        mcfg = MergeConfig(
+            strict_parity=cfg.strict_parity,
+            n_salts=cfg.n_salts,
+            dim=cfg.dim,
+            # with a work_dir, fixpoint rounds checkpoint durably (parquet
+            # stage tables) instead of executor-block localCheckpoint
+            checkpoint_dir=(f"{cfg.work_dir}/merge_ckpt" if cfg.work_dir else None),
+        )
         if (
             ledger is not None
             and ledger.completed("nodes_merged", fp)

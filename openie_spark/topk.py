@@ -221,16 +221,22 @@ def bypass_and_drop(
         batch = removed.select("lemma_key").join(losers, "lemma_key", "left_anti")
         batch = F.broadcast(batch)
 
+        # Self-loops on a batch node must not participate in bypass pairs:
+        # in the reference any bypass edge with an endpoint on the removed
+        # node is deleted together with the node (relations.py:884-892), so
+        # only pred != mid and succ != mid pairs survive. Without this
+        # filter a (pred->v, v->v) pair re-adds pred->v each round and v is
+        # never consumed (non-convergence).
         b_in = cur_edges.join(
             batch.withColumnRenamed("lemma_key", "dst"), "dst"
-        ).select(
+        ).filter(F.col("src") != F.col("dst")).select(
             F.col("dst").alias("mid"),
             F.col("src").alias("pred"),
             F.col("label").alias("in_label"),
         )
         b_out = cur_edges.join(
             batch.withColumnRenamed("lemma_key", "src"), "src"
-        ).select(
+        ).filter(F.col("dst") != F.col("src")).select(
             F.col("src").alias("mid"),
             F.col("dst").alias("succ"),
             F.col("label").alias("out_label"),

@@ -106,6 +106,26 @@ def test_embedding_neardup_default_blocker(spark):
         for r in embedding_neardup_pairs(df, blocking_col=None).collect()
     }
     assert pairs == {(1, 2)}
+    # explicit dim skips the probe job and gives the same answer
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(df, blocking_col=None, dim=4).collect()
+    }
+    assert pairs2 == {(1, 2)}
+
+
+def test_embedding_neardup_null_vector_raises(spark):
+    """A NULL first vector must raise loudly instead of silently producing
+    d=-1 hyperplane buckets (round-2 ADVICE)."""
+    import pytest
+
+    from openie_spark.dataops.dedup import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        embedding_neardup_pairs(df, blocking_col=None)
 
 
 def test_verify_jaccard_methods_agree(spark):

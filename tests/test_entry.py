@@ -12,6 +12,7 @@ import pytest
 import __spark_entry__ as entrymod
 
 SF_DIR = "/root/testdata/sf0.001"
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
 HAVE_TESTDATA = Path(SF_DIR).exists()
 
 pytestmark = pytest.mark.skipif(not HAVE_TESTDATA, reason="testdata not present")
@@ -21,17 +22,31 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# queries whose oracles read goldens/dataops_sf001 (generated from the
+# driver's correctness sf — the documents/embeddings tables DIFFER between
+# sf levels, so these must be checked at the sf the goldens were built for)
+GOLDEN_SF_QUERIES = {"ann_lsh_topk", "simhash_dedup"}
 
-@pytest.fixture(scope="module")
-def duck():
+
+def _connect(sf_dir: str):
     import duckdb
 
     con = duckdb.connect()
     for t in TABLES:
-        p = f"{SF_DIR}/{t}.parquet"
+        p = f"{sf_dir}/{t}.parquet"
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return _connect(SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def duck_driver_sf():
+    return _connect(DRIVER_SF_DIR)
 
 
 def normalize(rows, cols):
@@ -47,14 +62,13 @@ def normalize(rows, cols):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
-def test_query_matches_duckdb_oracle(spark, duck, name):
+def _compare_with_oracle(spark, con, name, sf_dir):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF_DIR)
+    sdf = q(spark, sf_dir)
     cols = sdf.columns
     spark_rows = normalize([r.asDict() for r in sdf.collect()], cols)
 
-    res = duck.execute(entrymod.oracle_sql()[name])
+    res = con.execute(entrymod.oracle_sql()[name])
     duck_cols = [d[0] for d in res.description]
     assert sorted(duck_cols) == sorted(cols), f"column mismatch: {duck_cols} vs {cols}"
     duck_rows = res.fetchall()
@@ -68,6 +82,25 @@ def test_query_matches_duckdb_oracle(spark, duck, name):
         (a, b) for a, b in zip(spark_rows, duck_rows_n) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))
+def test_query_matches_duckdb_oracle(spark, duck, duck_driver_sf, name):
+    if name in GOLDEN_SF_QUERIES:
+        sf_dir, con = DRIVER_SF_DIR, duck_driver_sf
+    else:
+        sf_dir, con = SF_DIR, duck
+    _compare_with_oracle(spark, con, name, sf_dir)
+
+
+def test_minhash_banding_recall_exact_at_driver_sf(spark, duck_driver_sf):
+    """Pins the claim that makes the minhash_dedup oracle exact: at the
+    driver's correctness sf, LSH banding recall over the true J≥0.6 pair
+    set is exactly 1 (and precision is 1 via the verify stage), so the
+    operator output equals the all-pairs exact-Jaccard set the SQL oracle
+    computes. If corpus or parameters drift this fails before the driver
+    sees a hash mismatch."""
+    _compare_with_oracle(spark, duck_driver_sf, "minhash_dedup", DRIVER_SF_DIR)
 
 
 def test_rows_only_queries_run(spark):
@@ -86,6 +119,83 @@ def test_entry_returns_triples(spark):
     assert set(df.columns) == {
         "url", "sent_id", "left_arg", "relation", "right_arg", "right_deprel"
     }
+
+
+GOLDEN_DIGESTS = {
+    # reference-derived KG goldens (tools/make_goldens.py — live import of
+    # /root/reference); regeneration or corpus drift must be LOUD, because
+    # kg_triples/kg_nodes/kg_edges hash-exactness is only meaningful if
+    # these bytes are the ones the reference actually produced.
+    "p500/triples.parquet": ("28305dee1432f63e", 5244),
+    "p500/nodes_merged.parquet": ("7acf80729fd210b7", 1831),
+    "p500/edges_merged.parquet": ("4484dec5dcc35544", 4345),
+    # independent pure-Python/numpy goldens (tools/make_dataops_goldens.py)
+    # backing the simhash_dedup / ann_lsh_topk oracles.
+    "dataops_sf001/simhash_sigs.parquet": ("43d50dab69a6c37a", 500),
+    "dataops_sf001/ann_buckets.parquet": ("faf3ec9e257a5578", 500),
+    "dataops_sf001/ann_probe_buckets.parquet": ("eaa9676e039b2635", 79),
+}
+
+
+def test_golden_digests_pinned():
+    """Pins the content digest of every checked-in golden parquet."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    root = Path(__file__).resolve().parent.parent / "goldens"
+    found = {str(p.relative_to(root)) for p in root.rglob("*.parquet")}
+    assert found == set(GOLDEN_DIGESTS), (
+        f"golden inventory drift: {found ^ set(GOLDEN_DIGESTS)}"
+    )
+    for rel, (want_digest, want_rows) in GOLDEN_DIGESTS.items():
+        rows = pq.read_table(root / rel).to_pylist()
+        h = hashlib.sha256()
+        for r in sorted(repr(sorted(d.items())) for d in rows):
+            h.update(r.encode())
+        assert (h.hexdigest()[:16], len(rows)) == (want_digest, want_rows), rel
+
+
+def test_merged_graph_vs_reference_goldens(spark):
+    """Tolerance oracle on the post-merge graph vs the reference's own
+    merged output (goldens/p500/*_merged.parquet, produced by executing the
+    live reference). The reference's greedy merge is not confluent (merge
+    order changes which main absorbs which other — measured band: 1831 ref
+    nodes vs 1826 ours on identical triples), so exact equality is out of
+    scope by construction; what IS invariant across merge orders:
+
+    - total node weight (merging only redistributes occurrence counts) —
+      asserted EXACTLY equal;
+    - node count and node key set — asserted within the measured
+      non-confluence band (≤1% count delta, ≤3% key sym-diff);
+    - edge count — wider band (≤10%): endpoint rewrites cascade.
+    Our edge weight total stays at one-per-triple (documented plain-sum
+    delta vs the reference's union semantics, SURVEY §2.6 A5) and is
+    asserted against the triple count."""
+    from pyspark.sql import functions as F
+
+    out = entrymod._kg_pipeline(spark, SF_DIR, with_merge=True)
+    nodes, edges = out["nodes"], out["edges"]
+    gn = spark.read.parquet("goldens/p500/nodes_merged.parquet")
+
+    n_ours, n_gold = nodes.count(), gn.count()
+    assert abs(n_ours - n_gold) / n_gold <= 0.01, (n_ours, n_gold)
+
+    w_ours = nodes.agg(F.sum("weight")).first()[0]
+    w_gold = gn.agg(F.sum("weight")).first()[0]
+    assert w_ours == w_gold, (w_ours, w_gold)
+
+    ours_keys = {r["lemma_key"] for r in nodes.select("lemma_key").collect()}
+    gold_keys = {r["lemma_key"] for r in gn.select("lemma_key").collect()}
+    assert len(ours_keys ^ gold_keys) / n_gold <= 0.03, len(ours_keys ^ gold_keys)
+
+    ge = spark.read.parquet("goldens/p500/edges_merged.parquet")
+    e_ours, e_gold = edges.count(), ge.count()
+    assert abs(e_ours - e_gold) / e_gold <= 0.10, (e_ours, e_gold)
+
+    ew_ours = edges.agg(F.sum("weight")).first()[0]
+    n_triples = spark.read.parquet("goldens/p500/triples.parquet").count()
+    assert ew_ours == n_triples, (ew_ours, n_triples)
 
 
 def test_kg_nodes_edges_consistent(spark):

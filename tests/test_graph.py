@@ -263,6 +263,44 @@ def test_bypass_label_chain(spark):
     assert got[("a", "b", "rel2 + obj")] == 2
 
 
+def test_bypass_self_loop_on_removed_node(spark):
+    """A removed node with a matching-label self-loop must still converge in
+    one batch round with weight 1 on the kept->kept bypass: in the reference,
+    bypass edges with an endpoint on the removed node are deleted together
+    with the node (relations.py:884-892), so (pred->v, v->v) pairs never
+    survive. Regression test for the non-convergence found in round-2 ADVICE
+    (bypass weight inflated ~rounds-fold, max_rounds burned, run truncated)."""
+    from openie_spark.topk import bypass_and_drop
+
+    rows = [
+        ("u1", 0, "s1", "a", "rel", "x", "obj", V_ZERO, V_ZERO, 0),
+        ("u2", 0, "s2", "x", "rel", "x", "obj", V_ZERO, V_ZERO, 0),  # self-loop
+        ("u3", 0, "s3", "x", "rel", "b", "obj", V_ZERO, V_ZERO, 0),
+    ]
+    nodes, edges = _agg(spark, rows)
+    stats: dict = {}
+    f_nodes, f_edges = bypass_and_drop(nodes, edges, {"a", "b"}, stats=stats)
+    got = {(r["src"], r["dst"], r["edge_key"]): r["weight"] for r in f_edges.collect()}
+    assert got == {("a", "b", "rel + obj"): 1}
+    assert not stats["truncated"]
+    assert stats["rounds"] <= 2, stats
+    # kept-node self-loops created by bypass (pred == succ) must survive:
+    # y -rel-> x -rel-> y with x removed yields the self-loop y->y in the
+    # reference (both endpoints kept).
+    rows2 = [
+        ("v1", 0, "t1", "y", "rel", "x", "obj", V_ZERO, V_ZERO, 0),
+        ("v2", 0, "t2", "x", "rel", "y", "obj", V_ZERO, V_ZERO, 0),
+        ("v3", 0, "t3", "y", "rel", "z", "obj", V_ZERO, V_ZERO, 0),
+    ]
+    nodes2, edges2 = _agg(spark, rows2)
+    f_nodes2, f_edges2 = bypass_and_drop(nodes2, edges2, {"y", "z"})
+    got2 = {(r["src"], r["dst"], r["edge_key"]): r["weight"] for r in f_edges2.collect()}
+    assert got2 == {
+        ("y", "y", "rel + obj"): 1,
+        ("y", "z", "rel + obj"): 1,
+    }
+
+
 def test_bypass_long_chain_round_bound(spark):
     """Large removed set: a label-homogeneous chain of 60 removed nodes
     between two kept endpoints must fully collapse to one kept→kept bypass
@@ -322,3 +360,24 @@ def test_distributed_fixpoint_equals_local(spark):
         ls = our_snapshot(ln, le)
         ds = our_snapshot(dn, de)
         assert ls == ds
+
+
+def test_distributed_fixpoint_reliable_checkpoint(spark, tmp_path):
+    """With MergeConfig.checkpoint_dir set, fixpoint rounds materialize to
+    durable parquet stage tables (cluster fault tolerance) instead of
+    executor-block localCheckpoint, and the result is identical."""
+    ckpt = str(tmp_path / "merge_ckpt")
+    for rows in (MERGE_POSITIVE, EDGE_MERGE):
+        nodes, edges = _agg(spark, rows)
+        dn, de, _ = merge_fixpoint(
+            nodes, edges, MergeConfig(), local_threshold=0
+        )
+        cn, ce, _ = merge_fixpoint(
+            nodes, edges, MergeConfig(checkpoint_dir=ckpt), local_threshold=0
+        )
+        assert our_snapshot(cn, ce) == our_snapshot(dn, de)
+    import os
+
+    round_dirs = os.listdir(f"{ckpt}/merge_rounds")
+    assert any(d.endswith("_nodes_init") for d in round_dirs)
+    assert any(d.endswith("_edges_par") for d in round_dirs)
