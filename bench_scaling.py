@@ -35,6 +35,41 @@ def _proc_stat() -> dict:
     return dict(zip(keys, vals))
 
 
+def _tree_jiffies() -> int:
+    """Total utime+stime jiffies of THIS process and all live descendants
+    (the JVM py4j launches, its pyspark worker daemons, everything). Unlike
+    whole-VM /proc/stat busy jiffies, this is immune to unrelated activity
+    on the machine — r2's CPU-work numbers were polluted by exactly that
+    (whole-VM busy read 4-7 cores during a 1-core-pinned leg). Short-lived
+    descendants that die between snapshots are lost, but the JVM and the
+    reused Python workers live for the whole measured span."""
+    import os
+
+    me = os.getpid()
+    procs: dict = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                rest = f.read().rsplit(")", 1)[1].split()
+            # fields after comm: 0=state 1=ppid ... 11=utime 12=stime
+            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (OSError, IndexError, ValueError):
+            continue
+    kids: dict = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total = 0
+    stack = [me]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+        stack.extend(kids.get(p, []))
+    return total
+
+
 def _stat_delta(a: dict, b: dict) -> dict:
     d = {k: b[k] - a[k] for k in a}
     total = sum(d.values()) or 1
@@ -117,6 +152,7 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     pages.count()
 
     stat0 = _proc_stat()
+    tree0 = _tree_jiffies()
     t0 = time.monotonic()
     # The pipeline's fused fast path (PipelineConfig.fuse_extract): one
     # mapInPandas for clean→parse→extract — identity-tested vs the unfused
@@ -155,6 +191,7 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     edges.unpersist()
     t_graph = time.monotonic() - t1
     wall = time.monotonic() - t0
+    job_jiffies = _tree_jiffies() - tree0
     hv = _stat_delta(stat0, _proc_stat())
     shutil.rmtree(work, ignore_errors=True)
 
@@ -168,6 +205,10 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
                 "graph_s": round(t_graph, 3),
                 "triples_per_sec": round(n_triples / t_extract, 1),
                 "e2e_triples_per_sec": round(n_triples / wall, 1),
+                # CPU burned by THIS job's process tree only (JVM + Python
+                # workers) during the measured span — the engine-attributable
+                # CPU-work metric, immune to unrelated VM activity
+                "job_busy_jiffies": job_jiffies,
                 # hypervisor conditions during the measured span (whole-VM
                 # /proc/stat): steal = CPU the host withheld from this VM
                 **hv,
@@ -319,24 +360,33 @@ def main() -> None:
     # hypervisor evidence + CPU-work efficiency (throttle-independent):
     # triples per busy CPU-jiffy compares actual CPU burned per unit work
     have_stat = all("busy_jiffies" in r for c in results for r in results[c])
+    have_job = all("job_busy_jiffies" in r for c in results for r in results[c])
     if have_stat:
         steal_med = {
             c: statistics.median(r["steal_pct"] for r in results[c]) for c in results
         }
+        jkey = "job_busy_jiffies" if have_job else "busy_jiffies"
         tpj = {
             c: statistics.median(
-                r["n_triples"] / (r["busy_jiffies"] or 1) for r in results[c]
+                r["n_triples"] / (r[jkey] or 1) for r in results[c]
             )
             for c in results
         }
         cpu_eff = tpj[hi] / tpj[lo]
+        scope = (
+            "the job's own process tree (JVM + Python workers; immune to "
+            "unrelated VM activity)"
+            if have_job
+            else "whole-VM /proc/stat (POLLUTED by any concurrent activity)"
+        )
         hv_report = f"""
 Hypervisor conditions during the measured spans (whole-VM /proc/stat):
 median steal N-leg {steal_med[lo]:.1f}%, 4N-leg {steal_med[hi]:.1f}%.
-**CPU-work efficiency (triples per busy CPU-jiffy, 4N/N) = {cpu_eff:.3f}**
-— this is wall-clock-independent: ≈1.0 means the 4N job burns no extra
+**CPU-work efficiency (triples per busy CPU-jiffy, 4N/N) = {cpu_eff:.3f}**,
+jiffies counted over {scope}.
+This is wall-clock-independent: ≈1.0 means the 4N job burns no extra
 CPU per triple (no parallel overhead in the engine); any wall-clock
-efficiency below it is host scheduling/steal, not the engine.
+efficiency below it is host scheduling/steal/SMT, not the engine.
 """
     else:
         hv_report = ""

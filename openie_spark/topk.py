@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 IS_A = "_is_a_"
 RELATES_TO = "_relates_to_"
 
+# bypass pre-filter reachability fixpoint budget: label-homogeneous chains
+# longer than this are synthetic; non-convergence falls back to the coarser
+# label-level filter (see bypass_and_drop). Module-level so tests can force
+# the fallback (0) for A/B equivalence.
+REACH_ITERS = 12
+
 
 def find_nodes_to_keep(
     nodes: DataFrame,
@@ -89,23 +95,53 @@ def find_nodes_to_keep(
     nodes_to_leave = set(all_nodes[:keep])
     next_node_index = keep + 1  # reference's +1 skip quirk
 
-    while True:
-        for node in sorted(nodes_to_leave):  # deterministic scan order
-            # in-edge quirk: target==node is always in nodes_to_leave, so a
-            # single non-structural in-edge (from ANY node) pins the node
-            if node in nonstructural_in:
-                continue
-            out_labels = [
-                lbl for tgt, lbl in out_edges.get(node, []) if tgt in nodes_to_leave
-            ]
-            if all(l in (IS_A, RELATES_TO) for l in out_labels):
-                nodes_to_leave.discard(node)
-                if next_node_index < len(all_nodes):
-                    nodes_to_leave.add(all_nodes[next_node_index])
-                    next_node_index += 1
-                break
-        else:
-            break
+    # The reference's restart-scan (re-scan sorted(nodes_to_leave) from the
+    # top after every swap) is semantically "repeatedly discard the
+    # lexicographically-smallest currently-eligible node". A naive restart
+    # loop is O(swaps · K log K) driver time — ~10⁹ ops at
+    # entities_limit=10⁴ with a large buffer (measured: dominates the whole
+    # filter at 1M-node scale). The lazy-revalidation heap below pops the
+    # identical discard sequence in O((K + swaps + touched) log K):
+    # eligibility is re-checked at pop (membership or out-label-visibility
+    # may have changed), and a node is (re)pushed only when a departed
+    # target could have made it eligible.
+    in_neighbors: dict = {}
+    for src, outs in out_edges.items():
+        for tgt, _lbl in outs:
+            in_neighbors.setdefault(tgt, []).append(src)
+
+    def eligible(n: str) -> bool:
+        # in-edge quirk: target==node is always in nodes_to_leave, so a
+        # single non-structural in-edge (from ANY node) pins the node
+        if n in nonstructural_in:
+            return False
+        return all(
+            lbl in (IS_A, RELATES_TO)
+            for tgt, lbl in out_edges.get(n, [])
+            if tgt in nodes_to_leave
+        )
+
+    import heapq
+
+    heap = [n for n in nodes_to_leave if eligible(n)]
+    heapq.heapify(heap)
+    while heap:
+        node = heapq.heappop(heap)
+        if node not in nodes_to_leave or not eligible(node):
+            continue  # stale entry (swapped out, or a new target pinned it)
+        nodes_to_leave.discard(node)
+        if next_node_index < len(all_nodes):
+            added = all_nodes[next_node_index]
+            next_node_index += 1
+            nodes_to_leave.add(added)
+            if eligible(added):
+                heapq.heappush(heap, added)
+        # the departed node's in-neighbors lost a target: a non-structural
+        # out-edge of theirs may have vanished from the kept set, making
+        # them eligible now (a GAINED target only pins — lazy check covers)
+        for m in in_neighbors.get(node, []):
+            if m in nodes_to_leave and eligible(m):
+                heapq.heappush(heap, m)
     return nodes_to_leave
 
 
@@ -124,16 +160,19 @@ def bypass_and_drop(
     processed batch are consumed, bypass edges join the live set.
 
     Round bound: per round every local-hash-minimum among removed nodes is
-    consumed, so rounds ≤ longest strictly-hash-decreasing path in the
-    removed-adjacency graph — O(log |removed|) in expectation for the
-    uniform xxhash64 (measured in tests/test_graph.py: 1k-node removed
-    chain resolves in ≤14 rounds). Before the rounds, a sound pre-filter
-    drops every removed↔removed edge whose label L has no kept→removed
-    in-edge or no removed→kept out-edge anywhere: a final kept→kept bypass
-    edge of label L needs both ends of a label-homogeneous chain (bypass
-    only fuses equal labels), so such edges can never contribute — at web
-    scale with entities_limit ≪ |V| this discards the bulk of the edge set
-    up front instead of grinding it through the rounds.
+    consumed — a 1/(deg+1) fraction of the removed set in expectation, so
+    chains drain in O(log) rounds but dense removed-adjacency drains
+    geometrically at rate deg/(deg+1) per round (measured: ~13%/round at
+    mean removed-degree ≈ 6). That is why the rounds are preceded by a
+    sound (node,label) REACHABILITY pre-filter (see inline comment): only
+    edges on a label-homogeneous kept→…→kept path through removed nodes
+    can ever contribute a bypass edge, and that core is tiny at web scale
+    with entities_limit ≪ |V| — the rounds then grind thousands of rows,
+    not the full edge set. If the reachability fixpoint does not converge
+    in REACH_ITERS iterations (chains longer than that are synthetic), a
+    coarser label-level filter is used instead: an edge whose label L has
+    no kept→removed in-edge or no removed→kept out-edge anywhere can never
+    complete a chain.
 
     If ``max_rounds`` is exhausted with removed nodes remaining, the
     leftover edges touching non-kept nodes are dropped (never returned
@@ -155,25 +194,131 @@ def bypass_and_drop(
         .withColumn("src_kept", F.coalesce(src_kept, F.lit(False)))
         .withColumn("dst_kept", F.coalesce(dst_kept, F.lit(False)))
     )
-    useful_labels = F.broadcast(
-        tagged.filter(src_kept & ~dst_kept)
-        .select("label")
-        .intersect(tagged.filter(~src_kept & dst_kept).select("label"))
-    )
-    cur_edges = (
-        tagged.join(
-            useful_labels.withColumn("_useful", F.lit(True)), "label", "left"
-        )
-        .filter(
-            src_kept | dst_kept | F.coalesce(F.col("_useful"), F.lit(False))
-        )
-        .drop("src_kept", "dst_kept", "_useful")
-        .select(edges.columns)
+    # Sound (node,label) REACHABILITY pre-filter: a final kept→kept bypass
+    # edge of label L exists iff some label-L path kept → r₁ → … → rₖ →
+    # kept runs entirely through removed intermediates (bypass only fuses
+    # equal labels). So an in-play edge can contribute only if its src is
+    # forward-L-reachable from the kept set and its dst backward-L-reachable
+    # to it. Label-homogeneous chains decay geometrically with label
+    # diversity, so the fixpoint below converges in a few (node,label)-join
+    # iterations and discards the overwhelming bulk of the removed↔removed
+    # set before the expensive hash-minima rounds — measured at 1M nodes /
+    # 3M edges: the batch rounds alone consume only ~13% of removed nodes
+    # per round (local-minima rate is 1/(deg+1)), needing ~70 rounds of
+    # full-set grinding; with this filter the surviving core is thousands
+    # of rows and drains in a handful of rounds (SCALE.md §8).
+    rr = (
+        tagged.filter(~src_kept & ~dst_kept)
+        .select(F.col("src").alias("n"), F.col("dst").alias("m"), "label")
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
+    def _reach(seed: DataFrame, edges_nm: DataFrame, iters: int):
+        """Fixpoint of (node,label) pairs reachable from seed along
+        edges_nm; None when not converged within `iters` (the caller then
+        falls back to the coarser label-level filter — chains longer than
+        `iters` are vanishingly rare outside synthetic fixtures)."""
+        reach = seed.localCheckpoint(eager=True)
+        frontier = reach
+        for _ in range(iters):
+            nxt = (
+                frontier.join(edges_nm, ["n", "label"])
+                .select(F.col("m").alias("n"), "label")
+                .distinct()
+                .join(reach, ["n", "label"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                return reach
+            reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return None
+
+    seed_f = (
+        tagged.filter(src_kept & ~dst_kept)
+        .select(F.col("dst").alias("n"), "label")
+        .distinct()
+    )
+    reach_f = _reach(seed_f, rr, REACH_ITERS)
+    reach_b = None
+    if reach_f is not None:
+        seed_b = (
+            tagged.filter(~src_kept & dst_kept)
+            .select(F.col("src").alias("n"), "label")
+            .distinct()
+        )
+        reach_b = _reach(
+            seed_b,
+            rr.select(F.col("m").alias("n"), F.col("n").alias("m"), "label"),
+            REACH_ITERS,
+        )
+
+    if reach_f is not None and reach_b is not None:
+        f_src = reach_f.select(F.col("n").alias("src"), "label").withColumn(
+            "_f", F.lit(True)
+        )
+        b_dst = reach_b.select(F.col("n").alias("dst"), "label").withColumn(
+            "_b", F.lit(True)
+        )
+        src_ok = src_kept | F.coalesce(F.col("_f"), F.lit(False))
+        dst_ok = dst_kept | F.coalesce(F.col("_b"), F.lit(False))
+        surviving = (
+            tagged.join(f_src, ["src", "label"], "left")
+            .join(b_dst, ["dst", "label"], "left")
+            .filter(src_ok & dst_ok)
+            .drop("_f", "_b")
+        )
+    else:
+        # fallback: sound label-level pre-filter (see docstring)
+        useful_labels = F.broadcast(
+            tagged.filter(src_kept & ~dst_kept)
+            .select("label")
+            .intersect(tagged.filter(~src_kept & dst_kept).select("label"))
+        )
+        surviving = tagged.join(
+            useful_labels.withColumn("_useful", F.lit(True)), "label", "left"
+        ).filter(src_kept | dst_kept | F.coalesce(F.col("_useful"), F.lit(False)))
+    # Rounds only grind edges still TOUCHING a removed node; kept→kept rows
+    # are final the moment they exist (they never pair — b_in/b_out join on
+    # batch membership) and park in `done_parts` for ONE aggregation at the
+    # end. The per-round groupBy below still runs on the in-play set before
+    # the next pairing (pairing multiplicity is semantics: an unaggregated
+    # duplicate in-edge would double a bypass weight), so results are
+    # identical to aggregating everything every round — the associative
+    # aggregates (sum/min/distinct-union) just happen later for parked rows.
+    # At web scale with entities_limit ≪ |V| this turns 50 full-edge-set
+    # aggregations into 50 shrinking ones plus one final merge.
+    done_parts = [surviving.filter(src_kept & dst_kept).select(edges.columns)]
+    cur_edges = (
+        surviving.filter(~(src_kept & dst_kept)).select(edges.columns)
+    )
+
+    def finalize(parts) -> DataFrame:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy("src", "dst", "edge_key").agg(
+            F.sum("weight").alias("weight"),
+            F.min("label").alias("label"),
+            F.min("lemmas").alias("lemmas"),
+            F.min("deprel").alias("deprel"),
+            F.array_distinct(F.flatten(F.collect_list("descriptions"))).alias(
+                "descriptions"
+            ),
+            F.array_distinct(F.flatten(F.collect_list("clusters"))).alias(
+                "clusters"
+            ),
+        )
+
+    import os as _os
+    import time as _time
+
+    debug = bool(_os.environ.get("OPENIE_BYPASS_DEBUG"))
     rounds = 0
     truncated = False
     for _ in range(max_rounds):
+        _t0 = _time.monotonic()
         removed = (
             cur_edges.select(F.col("src").alias("lemma_key"))
             .unionByName(cur_edges.select(F.col("dst").alias("lemma_key")))
@@ -266,7 +411,7 @@ def bypass_and_drop(
             cur_edges.join(batch.withColumnRenamed("lemma_key", "src"), "src", "left_anti")
             .join(batch.withColumnRenamed("lemma_key", "dst"), "dst", "left_anti")
         )
-        cur_edges = (
+        merged = (
             untouched.select(bypass.columns)
             .unionByName(bypass)
             .groupBy("src", "dst", "edge_key")
@@ -282,16 +427,29 @@ def bypass_and_drop(
                     "clusters"
                 ),
             )
+            .join(k_src.withColumn("src_kept", F.lit(True)), "src", "left")
+            .join(k_dst.withColumn("dst_kept", F.lit(True)), "dst", "left")
+            .withColumn("src_kept", F.coalesce(src_kept, F.lit(False)))
+            .withColumn("dst_kept", F.coalesce(dst_kept, F.lit(False)))
             .localCheckpoint(eager=True)
         )
+        done_parts.append(
+            merged.filter(src_kept & dst_kept).select(edges.columns)
+        )
+        cur_edges = merged.filter(~(src_kept & dst_kept)).select(edges.columns)
+        if debug:
+            import sys as _sys
+
+            print(
+                f"bypass round {rounds}: {_time.monotonic() - _t0:.1f}s "
+                f"in_play={cur_edges.count()} removed={removed.count()}",
+                file=_sys.stderr,
+            )
 
     else:
         # max_rounds exhausted: never return edges referencing nodes absent
         # from new_nodes — drop any leftovers loudly instead of dangling.
-        cleaned = cur_edges.join(
-            keep_df.withColumnRenamed("lemma_key", "src"), "src", "left_semi"
-        ).join(keep_df.withColumnRenamed("lemma_key", "dst"), "dst", "left_semi")
-        if cur_edges.count() != cleaned.count():
+        if not cur_edges.isEmpty():
             import logging
 
             logging.getLogger(__name__).warning(
@@ -300,13 +458,13 @@ def bypass_and_drop(
                 max_rounds,
             )
             truncated = True
-        cur_edges = cleaned
+        cur_edges = cur_edges.limit(0)
 
     if stats is not None:
         stats["rounds"] = rounds
         stats["truncated"] = truncated
     new_nodes = nodes.join(keep_df, "lemma_key", "left_semi")
-    return new_nodes, cur_edges
+    return new_nodes, finalize(done_parts + [cur_edges])
 
 
 def filter_nodes(

@@ -328,6 +328,50 @@ def test_bypass_long_chain_round_bound(spark):
     assert kept == keep
 
 
+def test_bypass_reach_filter_equals_fallback(spark, monkeypatch):
+    """The (node,label) reachability pre-filter and the coarser label-level
+    fallback must produce identical bypass output on a graph mixing chains,
+    self-loops, diamonds, and dead-end removed branches."""
+    import openie_spark.topk as topk_mod
+    from openie_spark.topk import bypass_and_drop
+
+    rows = [
+        # kept a→…→b chain of label rel through removed x1,x2
+        ("u1", 0, "s1", "a", "rel", "x1", "obj", V_ZERO, V_ZERO, 0),
+        ("u2", 0, "s2", "x1", "rel", "x2", "obj", V_ZERO, V_ZERO, 0),
+        ("u3", 0, "s3", "x2", "rel", "b", "obj", V_ZERO, V_ZERO, 0),
+        # diamond: a→y1→b and a→y2→b label rel2
+        ("u4", 0, "s4", "a", "rel2", "y1", "obj", V_ZERO, V_ZERO, 0),
+        ("u5", 0, "s5", "a", "rel2", "y2", "obj", V_ZERO, V_ZERO, 0),
+        ("u6", 0, "s6", "y1", "rel2", "b", "obj", V_ZERO, V_ZERO, 0),
+        ("u7", 0, "s7", "y2", "rel2", "b", "obj", V_ZERO, V_ZERO, 0),
+        # dead-end removed branch (label rel, never returns to kept)
+        ("u8", 0, "s8", "x1", "rel", "z1", "obj", V_ZERO, V_ZERO, 0),
+        ("u9", 0, "s9", "z1", "rel", "z2", "obj", V_ZERO, V_ZERO, 0),
+        # removed self-loop on x2
+        ("ua", 0, "sa", "x2", "rel", "x2", "obj", V_ZERO, V_ZERO, 0),
+        # label break: x1→x2 with rel3 (chain can't fuse across labels)
+        ("ub", 0, "sb", "x1", "rel3", "x2", "obj", V_ZERO, V_ZERO, 0),
+    ]
+    nodes, edges = _agg(spark, rows)
+    keep = {"a", "b"}
+
+    def snap(n, e):
+        return (
+            {r["lemma_key"] for r in n.collect()},
+            {
+                (r["src"], r["dst"], r["edge_key"]): r["weight"]
+                for r in e.collect()
+            },
+        )
+
+    sr = snap(*bypass_and_drop(nodes, edges, keep))
+    monkeypatch.setattr(topk_mod, "REACH_ITERS", 0)  # force fallback path
+    sf = snap(*bypass_and_drop(nodes, edges, keep))
+    assert sr == sf
+    assert ("a", "b", "rel + obj") in sr[1]
+
+
 def test_bypass_max_rounds_truncation_never_dangles(spark):
     """If max_rounds is exhausted, leftover edges touching removed nodes are
     dropped (with stats['truncated']=True) — never returned dangling."""

@@ -80,9 +80,11 @@ def main() -> None:
     )
     n_e = edges.count()
 
+    print(f"graph built: {n_nodes} nodes, {n_e} edges", file=sys.stderr)
     t0 = time.monotonic()
     keep = find_nodes_to_keep(nodes, edges, entities_limit)
     t_keep = time.monotonic() - t0
+    print(f"find_nodes_to_keep: {t_keep:.1f}s, |keep|={len(keep)}", file=sys.stderr)
 
     stats: dict = {}
     t0 = time.monotonic()
@@ -90,6 +92,7 @@ def main() -> None:
     n_kept_edges = f_edges.count()
     n_kept_nodes = f_nodes.count()
     t_bypass = time.monotonic() - t0
+    print(f"bypass: {t_bypass:.1f}s rounds={stats['rounds']}", file=sys.stderr)
 
     out = {
         "n_nodes": n_nodes,
