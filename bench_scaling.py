@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import statistics
 import subprocess
 import sys
@@ -101,7 +102,13 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
         # parquet commit — driver-serial time that Amdahl-penalizes the
         # high-core leg (standard production setting on object stores)
         extra_conf={
-            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2"
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+            # keep Python workers alive across the measured span so the
+            # process-tree CPU accounting never loses a dead worker's time
+            "spark.python.worker.killOnIdleTimeout": "false",
+            # (measured: arrow.maxRecordsPerBatch 256 vs 10000 makes no
+            # difference to the extract span — the daemon's writer thread
+            # already pipelines the JVM→python→JVM stream within a task)
         },
     )
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -146,7 +153,16 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     # pre-generated ONCE to parquet by the parent (generation is pure
     # Python and would burn hypervisor burst credits inside every rep)
     if pages_parquet:
-        pages = spark.read.parquet(pages_parquet).cache()
+        # repartition BEFORE caching (outside the measured span): the raw
+        # parquet packs into ~7 input splits via maxPartitionBytes, and 7
+        # tasks on 4 cores run as a 4+3 two-wave schedule — 18% idle tail
+        # in the measured extract stage (event-log verified). cores*3 is
+        # the measured sweet spot: even waves with a small tail, and fewer
+        # tasks than cores*6 — each extra mapInPandas task costs ~3s of
+        # Python-side per-task setup (measured: 24 tasks = 207s CPU for
+        # the same work 12 tasks do in 172s; 172s matches the 1-core leg,
+        # i.e. CPU-work parallel overhead ≈ 0 at this granularity).
+        pages = spark.read.parquet(pages_parquet).repartition(cores * 3).cache()
     else:
         pages = pages_df(spark, pages, seed=42, n_sents=6, partitions=cores * 6).cache()
     pages.count()
@@ -172,6 +188,11 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     triples = spark.read.parquet(f"{work}/triples")
     n_triples = triples.count()
     t_extract = time.monotonic() - t0
+    # snapshot the job tree at the phase boundary: the extract phase's
+    # Python workers can be idle-reaped during the (pure-JVM) graph phase,
+    # and a dead descendant's utime vanishes from a later snapshot — the
+    # long 1-core leg lost ~half its CPU accounting to exactly this
+    tree_extract = _tree_jiffies() - tree0
 
     # release the generator cache before the shuffle phase: lingering cache
     # blocks + UDF-transfer garbage otherwise degrade the aggregation's
@@ -180,6 +201,7 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     spark.sparkContext._jvm.System.gc()
 
     t1 = time.monotonic()
+    tree1 = _tree_jiffies()
     labeled = triples.withColumn("cluster", F.lit(0))
     # pipeline-shaped materialization: edges stage table written once, the
     # in-flight aggregation reused (cache) for the degree computation —
@@ -191,7 +213,8 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
     edges.unpersist()
     t_graph = time.monotonic() - t1
     wall = time.monotonic() - t0
-    job_jiffies = _tree_jiffies() - tree0
+    # per-phase deltas so worker deaths between phases can't swallow time
+    job_jiffies = tree_extract + (_tree_jiffies() - tree1)
     hv = _stat_delta(stat0, _proc_stat())
     shutil.rmtree(work, ignore_errors=True)
 
@@ -209,6 +232,7 @@ def child(cores: int, pages: int, pages_parquet: str | None = None) -> None:
                 # workers) during the measured span — the engine-attributable
                 # CPU-work metric, immune to unrelated VM activity
                 "job_busy_jiffies": job_jiffies,
+                "extract_jiffies": tree_extract,
                 # hypervisor conditions during the measured span (whole-VM
                 # /proc/stat): steal = CPU the host withheld from this VM
                 **hv,
@@ -360,12 +384,13 @@ def main() -> None:
     # hypervisor evidence + CPU-work efficiency (throttle-independent):
     # triples per busy CPU-jiffy compares actual CPU burned per unit work
     have_stat = all("busy_jiffies" in r for c in results for r in results[c])
-    have_job = all("job_busy_jiffies" in r for c in results for r in results[c])
+    have_job = all("extract_jiffies" in r for c in results for r in results[c])
     if have_stat:
         steal_med = {
             c: statistics.median(r["steal_pct"] for r in results[c]) for c in results
         }
-        jkey = "job_busy_jiffies" if have_job else "busy_jiffies"
+        # CPU-work over the SAME span as the gate metric (extract span)
+        jkey = "extract_jiffies" if have_job else "busy_jiffies"
         tpj = {
             c: statistics.median(
                 r["n_triples"] / (r[jkey] or 1) for r in results[c]
@@ -374,8 +399,8 @@ def main() -> None:
         }
         cpu_eff = tpj[hi] / tpj[lo]
         scope = (
-            "the job's own process tree (JVM + Python workers; immune to "
-            "unrelated VM activity)"
+            "the job's own process tree during the extract span (JVM + "
+            "Python workers; immune to unrelated VM activity)"
             if have_job
             else "whole-VM /proc/stat (POLLUTED by any concurrent activity)"
         )
@@ -412,10 +437,12 @@ extract-through-materialize stages"): clean → parse → extract →
 **triples stage-table materialized to parquet** — the span that defines
 the triples/sec headline metric. The downstream graph-aggregate phase is
 reported alongside; at sandbox scale it is fixed-latency-dominated
-(~10 Spark stage barriers on ~seconds of real work) and the sandbox VM
-throttles sustained load via hypervisor burst credits (measured: 85% idle
-with 5-16% steal during long phases), which medians + cooldowns only
-partly cancel.
+(~10 Spark stage barriers on ~seconds of real work). Run-to-run noise on
+this VM is hypervisor frequency/credit windows (an afflicted leg burns
+MORE jiffies per triple at zero steal); interleaving + medians cancel it.
+Input partitioning is cores*3 (measured sweet spot: the raw parquet packs
+into ~7 splits → 4+3 task waves = 18% idle tail at 4 cores, while
+cores*6 pays ~3s/task Python-side setup — see child() comments).
 
 | parallelism | median extract-span wall (s) | triples/sec | e2e wall (s) | e2e triples/sec |
 |---|---|---|---|---|
@@ -444,10 +471,17 @@ it saturates cores (isolated measurements: node agg 4.3s@2c → 2.5s@8c,
 edge agg 5.3s@2c → 2.8s@8c on 1M triples).
 
 Environment note: this sandbox is a Firecracker VM (32 vCPU = 16 physical
-× SMT) with hypervisor burst-credit throttling; a pure-Python
-multiprocessing probe tops out at ~0.73 efficiency for 8→32 processes, so
-the N/4N pair is chosen within the physical-core budget (BASELINE.md
-names local[8]/local[32] as an example pair; N={lo} here).
+× SMT). Host scaling ceiling measured on a QUIET machine with a
+Spark-free pure-CPU probe (tools/host_ceiling_probe.py, raw results in
+BENCH/host_ceiling_probe.json): median efficiency 0.96 (1→4 cores), 0.97
+(2→8), 0.915 (8→32 — SMT siblings bite). The r2 claim of a ~0.73 host
+ceiling is RETIRED: that probe ran concurrently with the session's own
+background jobs, as did the whole-VM CPU telemetry (archived raw runs
+show 4-7 cores busy during a 1-core-pinned leg). The N/4N pair is chosen
+within the physical-core budget (BASELINE.md names local[8]/local[32] as
+an example pair; N={lo} here); protocol runs execute with nothing else on
+the machine, and the per-process-tree CPU metric above is immune to
+residual background activity either way.
 
 Raw runs:
 ```json
