@@ -314,13 +314,16 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     """Scale-path ANN. Exact-oracled: the hyperplane hash family is
     deterministic (seeded), so the bucket-restricted candidate set is a
-    fixed, reproducible subset — the oracle recomputes the buckets with an
-    INDEPENDENT pure-numpy implementation (tools/make_dataops_goldens.py,
-    goldens/dataops_sf001/ann_buckets.parquet) and takes the exact cosine
-    top-k over the same candidates in SQL. This checks the whole Spark path
+    fixed, reproducible subset — the oracle recomputes the buckets with a
+    SECOND IMPLEMENTATION of the same construction in pure numpy
+    (tools/make_dataops_goldens.py, goldens/dataops_sf01/
+    ann_buckets.parquet) and takes the exact cosine top-k over the same
+    candidates in SQL. Because both sides use the declared
+    RandomState(seed).randn recipe, this catches Spark-path bugs
     (Arrow-batched bucketing UDF, multiprobe filter, TakeOrdered) to full
-    value-hash equality; recall vs unrestricted brute force remains
-    approximate by construction and is pytest-bounded separately."""
+    value-hash equality — not spec-level bugs common to both. Recall vs
+    unrestricted brute force remains approximate by construction and is
+    pytest-bounded separately."""
     from openie_spark.dataops.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -351,10 +354,12 @@ def q_simhash_dedup(spark, sf_dir):
     """Exact-oracled: pigeonhole banding (n_bands = max_hamming+1) has
     guaranteed recall and candidates are popcount-verified, so the output
     is EXACTLY the all-pairs hamming ≤ k set. The oracle recomputes the
-    signatures with an independent pure-Python SimHash implementation
-    (tools/make_dataops_goldens.py → goldens/dataops_sf001/
-    simhash_sigs.parquet) and derives the pair set with DuckDB
-    xor + bit_count — full value-hash equality, no approximation left."""
+    signatures with a pure-Python SimHash whose token hashes come from an
+    XXH64 written from the public spec (tools/pure_xxh64.py — a genuinely
+    different implementation of the hash family than Spark's JVM codegen)
+    and derives the pair set with DuckDB xor + bit_count — full value-hash
+    equality, no approximation left. Goldens: tools/make_dataops_goldens.py
+    → goldens/dataops_sf01/simhash_sigs.parquet."""
     from openie_spark.dataops.dedup import simhash_neardup_pairs
 
     docs = _read(spark, sf_dir, "documents")
@@ -438,10 +443,11 @@ def oracle_sql() -> dict[str, str]:
     # reference-derived goldens (tools/make_goldens.py; 500-page corpus =
     # the documents count at the driver's correctness sf)
     G_TRIPLES = "'/root/repo/goldens/p500/triples.parquet'"
-    # independent-reimplementation goldens (tools/make_dataops_goldens.py)
-    G_SIMHASH = "'/root/repo/goldens/dataops_sf001/simhash_sigs.parquet'"
-    G_ANN_BUCKETS = "'/root/repo/goldens/dataops_sf001/ann_buckets.parquet'"
-    G_ANN_PROBES = "'/root/repo/goldens/dataops_sf001/ann_probe_buckets.parquet'"
+    # second-implementation goldens (tools/make_dataops_goldens.py; dir is
+    # named for the sf it was generated from — the driver's sf0.01)
+    G_SIMHASH = "'/root/repo/goldens/dataops_sf01/simhash_sigs.parquet'"
+    G_ANN_BUCKETS = "'/root/repo/goldens/dataops_sf01/ann_buckets.parquet'"
+    G_ANN_PROBES = "'/root/repo/goldens/dataops_sf01/ann_probe_buckets.parquet'"
     # shared CTE: A2 edge aggregation over the golden triples. Grouped by
     # (src, dst, edge_key) ONLY — two surface relations sharing lemmas
     # (inflections) share one edge. A non-literal edge always has a
@@ -688,9 +694,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # The three formerly-gray approximate queries, now exact-oracled
         # (see each query's docstring for why equality holds):
-        # - ann_lsh_topk: bucket membership from an independent pure-numpy
-        #   reimplementation of the seeded hyperplane family (goldens/
-        #   dataops_sf001), exact cosine top-k over those candidates.
+        # - ann_lsh_topk: bucket membership from a pure-numpy second
+        #   implementation of the seeded hyperplane family (goldens/
+        #   dataops_sf01), exact cosine top-k over those candidates.
         "ann_lsh_topk": f"""
             WITH cand AS (
               SELECT e.vec_id, e.embedding

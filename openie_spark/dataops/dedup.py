@@ -26,8 +26,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -301,40 +299,53 @@ def ngram_jaccard_pairs(
 def simhash_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """(id, simhash long) — token-hash bit votes, numpy-vectorized per Arrow
-    batch (the one dedup op where SQL would be 64 aggregate columns of bit
-    twiddling)."""
-    from pyspark.sql.types import LongType
+    """(id, simhash long) — Charikar SimHash, fully JVM-side.
 
-    @F.pandas_udf(LongType())
-    def simhash_udf(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts.tolist():
-            toks = (t or "").lower().split()
-            if not toks:
-                out.append(0)
-                continue
-            hs = np.array(
-                [hash_token(tok) for tok in toks], dtype=np.uint64
-            )
-            bits_m = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
-            votes = (2 * bits_m - 1).sum(axis=0)
-            sig = np.uint64(0)
-            for i in np.nonzero(votes > 0)[0]:
-                sig |= np.uint64(1) << np.uint64(i)
-            out.append(int(np.int64(sig)))
-        return pd.Series(out)
+    Tokens are the non-empty runs of ``split(lower(text), '\\s+')``; each
+    token is hashed ONCE with Spark's built-in ``xxhash64`` (XXH64, seed
+    42); per-bit votes accumulate in an ``aggregate`` fold over the
+    per-token hash array (narrow, no explode, no shuffle, no Python — this
+    replaced a per-token ``hashlib.blake2b`` pandas UDF, the last
+    row-at-a-time Python in any hot path). Bit tests use literal masks
+    rather than variable shifts (the Python shift APIs take int literals
+    only); the sign bits then pack into one long with a bitwise-OR fold.
 
-    def hash_token(tok: str) -> int:
-        import hashlib
-
-        return int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-        )
-
-    return df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("simhash"))
+    Cross-implementation parity: tools/make_dataops_goldens.py recomputes
+    these signatures with a pure-Python XXH64 written from the public spec
+    (tools/pure_xxh64.py), and tests pin that the two hash implementations
+    agree token-for-token."""
+    masks = []
+    for i in range(bits):
+        m = 1 << i
+        if m >= 1 << 63:
+            m -= 1 << 64  # bit 63 as a signed long literal
+        masks.append(m)
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    hs = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            mask_arr,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes,
+            mask_arr,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -269,3 +269,43 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(NotImplementedError):
         _decode_image_real(b"x")
+
+
+def test_pure_xxh64_matches_spark(spark):
+    """Token-level agreement between tools/pure_xxh64.py (pure-Python XXH64
+    from the public spec — the golden generator's hash) and Spark's JVM
+    xxhash64 (the operator's hash). Lengths chosen to hit every tail
+    branch: <32 path, 4-byte chunk, byte loop, and the 32-byte stripes."""
+    from tools.pure_xxh64 import xxh64
+
+    toks = (
+        ["", "a", "ab", "abc", "abcd", "hello", "превед", "ß", "日本語テスト"]
+        + ["x" * n for n in (7, 8, 9, 15, 16, 31, 32, 33, 40, 63, 64, 100)]
+        + ["tok\x00nul", "MiXeD Case", "б" * 20]
+    )
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    got = {r["tok"]: r["h"] for r in df.select("tok", F.xxhash64("tok").alias("h")).collect()}
+    for t in toks:
+        assert got[t] == xxh64(t.encode("utf-8")), repr(t)
+
+
+def test_simhash_matches_pure_python_golden_impl(spark):
+    """simhash_df (JVM fold) must agree signature-for-signature with the
+    golden generator's pure-Python SimHash on adversarial texts (empty,
+    null-ish, tabs/newlines, unicode, long repeats)."""
+    from openie_spark.dataops.dedup import simhash_df
+    from tools.make_dataops_goldens import simhash64
+
+    texts = [
+        "",
+        "   ",
+        "one",
+        "the quick\tbrown\nfox  jumps",
+        "ПрЕвЕд МеДвЕд и снова превед",
+        "a b c d e f g h i j " * 30,
+        "Tabs\tand\x0bvertical\x0cfeeds\rreturns",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_df(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == simhash64(t), (i, t)

@@ -22,9 +22,10 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
-# queries whose oracles read goldens/dataops_sf001 (generated from the
-# driver's correctness sf — the documents/embeddings tables DIFFER between
-# sf levels, so these must be checked at the sf the goldens were built for)
+# queries whose oracles read goldens/dataops_sf01 (generated from the
+# driver's correctness sf0.01 — the documents/embeddings tables DIFFER
+# between sf levels, so these must be checked at the sf the goldens were
+# built for)
 GOLDEN_SF_QUERIES = {"ann_lsh_topk", "simhash_dedup"}
 
 
@@ -129,19 +130,22 @@ GOLDEN_DIGESTS = {
     "p500/triples.parquet": ("28305dee1432f63e", 5244),
     "p500/nodes_merged.parquet": ("7acf80729fd210b7", 1831),
     "p500/edges_merged.parquet": ("4484dec5dcc35544", 4345),
-    # independent pure-Python/numpy goldens (tools/make_dataops_goldens.py)
-    # backing the simhash_dedup / ann_lsh_topk oracles.
-    "dataops_sf001/simhash_sigs.parquet": ("43d50dab69a6c37a", 500),
-    "dataops_sf001/ann_buckets.parquet": ("faf3ec9e257a5578", 500),
-    "dataops_sf001/ann_probe_buckets.parquet": ("eaa9676e039b2635", 79),
+    # second-implementation pure-Python/numpy goldens
+    # (tools/make_dataops_goldens.py) backing the simhash_dedup /
+    # ann_lsh_topk oracles; dir named for its source sf (driver sf0.01).
+    "dataops_sf01/simhash_sigs.parquet": ("3aa550772694206c", 500),
+    "dataops_sf01/ann_buckets.parquet": ("faf3ec9e257a5578", 500),
+    "dataops_sf01/ann_probe_buckets.parquet": ("eaa9676e039b2635", 79),
 }
 
 
 def test_golden_digests_pinned():
-    """Pins the content digest of every checked-in golden parquet."""
-    import hashlib
-
+    """Pins the content digest of every checked-in golden parquet, using
+    the SAME digest scheme the generator tools print
+    (tools/golden_digest.py) so pins and tool output are comparable."""
     import pyarrow.parquet as pq
+
+    from tools.golden_digest import golden_digest
 
     root = Path(__file__).resolve().parent.parent / "goldens"
     found = {str(p.relative_to(root)) for p in root.rglob("*.parquet")}
@@ -150,10 +154,7 @@ def test_golden_digests_pinned():
     )
     for rel, (want_digest, want_rows) in GOLDEN_DIGESTS.items():
         rows = pq.read_table(root / rel).to_pylist()
-        h = hashlib.sha256()
-        for r in sorted(repr(sorted(d.items())) for d in rows):
-            h.update(r.encode())
-        assert (h.hexdigest()[:16], len(rows)) == (want_digest, want_rows), rel
+        assert (golden_digest(rows), len(rows)) == (want_digest, want_rows), rel
 
 
 def test_merged_graph_vs_reference_goldens(spark):
