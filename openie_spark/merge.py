@@ -495,14 +495,22 @@ def merge_fixpoint(
 
     spark = nodes.sparkSession
     seq = iter(range(10_000))
+    run_dir = None
+    if cfg.checkpoint_dir is not None:
+        import uuid
+
+        # per-run unique subdir: concurrent/re-runs sharing a work_dir can't
+        # tread on each other's stage tables, and cleanup below can't remove
+        # a sibling run's rounds
+        run_dir = f"{cfg.checkpoint_dir}/merge_rounds/run_{uuid.uuid4().hex[:12]}"
 
     def ckpt(df: DataFrame, name: str) -> DataFrame:
         """Cut lineage per round: localCheckpoint (fast, executor-block-
         backed) by default; durable parquet stage tables when
         cfg.checkpoint_dir is set (cluster-grade fault tolerance)."""
-        if cfg.checkpoint_dir is None:
+        if run_dir is None:
             return df.localCheckpoint(eager=True)
-        path = f"{cfg.checkpoint_dir}/merge_rounds/{next(seq):04d}_{name}"
+        path = f"{run_dir}/{next(seq):04d}_{name}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -530,6 +538,20 @@ def merge_fixpoint(
 
         if not progressed:
             break
+    if run_dir is not None:
+        # materialize the converged tables to a stable location, then drop
+        # the per-round stage tables — previously they lingered forever and
+        # disk usage grew across runs sharing a work_dir
+        final_nodes = f"{cfg.checkpoint_dir}/merge_final/nodes"
+        final_edges = f"{cfg.checkpoint_dir}/merge_final/edges"
+        nodes.write.mode("overwrite").parquet(final_nodes)
+        edges.write.mode("overwrite").parquet(final_edges)
+        nodes = spark.read.parquet(final_nodes)
+        edges = spark.read.parquet(final_edges)
+        # Hadoop FS delete (not shutil): checkpoint_dir may be HDFS/S3
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(run_dir)
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
     return nodes, edges, rounds
 
 # ---- driver-local fast path ---------------------------------------------------

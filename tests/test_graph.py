@@ -409,7 +409,11 @@ def test_distributed_fixpoint_equals_local(spark):
 def test_distributed_fixpoint_reliable_checkpoint(spark, tmp_path):
     """With MergeConfig.checkpoint_dir set, fixpoint rounds materialize to
     durable parquet stage tables (cluster fault tolerance) instead of
-    executor-block localCheckpoint, and the result is identical."""
+    executor-block localCheckpoint, the result is identical, the converged
+    tables land under merge_final/, and the per-run round stage tables are
+    cleaned up afterwards (they previously accumulated across runs)."""
+    import os
+
     ckpt = str(tmp_path / "merge_ckpt")
     for rows in (MERGE_POSITIVE, EDGE_MERGE):
         nodes, edges = _agg(spark, rows)
@@ -420,8 +424,107 @@ def test_distributed_fixpoint_reliable_checkpoint(spark, tmp_path):
             nodes, edges, MergeConfig(checkpoint_dir=ckpt), local_threshold=0
         )
         assert our_snapshot(cn, ce) == our_snapshot(dn, de)
-    import os
+        # returned DataFrames stay readable after round-dir cleanup
+        assert cn.count() > 0 and ce.count() > 0
 
-    round_dirs = os.listdir(f"{ckpt}/merge_rounds")
-    assert any(d.endswith("_nodes_init") for d in round_dirs)
-    assert any(d.endswith("_edges_par") for d in round_dirs)
+    assert sorted(os.listdir(f"{ckpt}/merge_final")) == ["edges", "nodes"]
+    leftover = (
+        os.listdir(f"{ckpt}/merge_rounds")
+        if os.path.isdir(f"{ckpt}/merge_rounds")
+        else []
+    )
+    assert leftover == [], f"stage tables not cleaned: {leftover}"
+
+
+def _naive_find_nodes_to_keep(node_weights, edge_list, n_keep, buffer_factor=3):
+    """Straightforward restart-scan replica of the reference's swap
+    refinement (relations.py:828-860 semantics as documented in
+    topk.find_nodes_to_keep): after every discard+swap-in, re-scan the kept
+    set in sorted order from the top and discard the first eligible node.
+    Pure Python over the same derived inputs the heap version collects —
+    the A/B target for the lazy-revalidation heap."""
+    from openie_spark.topk import IS_A, RELATES_TO
+
+    n_buffer = n_keep * buffer_factor + 64
+    # weight desc, lemma desc — mirrors orderBy(desc(weight), desc(key))
+    all_nodes = sorted(
+        node_weights.keys(), key=lambda k: (node_weights[k], k), reverse=True
+    )[:n_buffer]
+    cand_set = set(all_nodes)
+    out_edges = {}
+    for s, d, lbl in edge_list:
+        if s in cand_set and d in cand_set:
+            out_edges.setdefault(s, []).append((d, lbl))
+    nonstructural_in = {
+        d for s, d, lbl in edge_list
+        if lbl not in (IS_A, RELATES_TO) and d in cand_set
+    }
+
+    keep = min(n_keep, len(all_nodes))
+    nodes_to_leave = set(all_nodes[:keep])
+    next_idx = keep + 1  # the reference's +1 skip quirk
+
+    def eligible(n):
+        if n in nonstructural_in:
+            return False
+        return all(
+            lbl in (IS_A, RELATES_TO)
+            for tgt, lbl in out_edges.get(n, [])
+            if tgt in nodes_to_leave
+        )
+
+    while True:
+        for n in sorted(nodes_to_leave):
+            if eligible(n):
+                nodes_to_leave.discard(n)
+                if next_idx < len(all_nodes):
+                    nodes_to_leave.add(all_nodes[next_idx])
+                    next_idx += 1
+                break
+        else:
+            return nodes_to_leave
+
+
+def test_find_nodes_to_keep_heap_equals_restart_scan(spark):
+    """Randomized A/B property test: the lazy-revalidation heap in
+    find_nodes_to_keep must produce the IDENTICAL kept set as the naive
+    sorted-restart-scan on random graphs with varied labels, weights
+    (heavy ties), limits, and structural-label densities — including
+    high-structural graphs that force long swap cascades and the
+    in-neighbor re-push path."""
+    import random
+
+    from openie_spark.topk import IS_A, RELATES_TO
+
+    rnd = random.Random(20260817)
+    labels_pool = [IS_A, RELATES_TO, "rel_a", "rel_b"]
+    for case in range(12):
+        n = rnd.randint(8, 45)
+        structural_bias = rnd.choice([0.3, 0.6, 0.9])
+        node_keys = [f"n{i:02d}" for i in range(n)]
+        node_weights = {k: rnd.randint(1, 6) for k in node_keys}
+        n_edges = rnd.randint(n, n * 3)
+        edge_set = set()
+        for _ in range(n_edges):
+            s, d = rnd.sample(node_keys, 2)
+            lbl = (
+                rnd.choice([IS_A, RELATES_TO])
+                if rnd.random() < structural_bias
+                else rnd.choice(labels_pool)
+            )
+            edge_set.add((s, d, lbl))
+        edge_list = sorted(edge_set)
+        n_keep = rnd.randint(2, max(3, n // 3))
+
+        nodes_df = spark.createDataFrame(
+            [(k, w) for k, w in node_weights.items()], "lemma_key string, weight long"
+        )
+        edges_df = spark.createDataFrame(
+            edge_list, "src string, dst string, label string"
+        )
+        got = find_nodes_to_keep(nodes_df, edges_df, n_keep)
+        want = _naive_find_nodes_to_keep(node_weights, edge_list, n_keep)
+        assert got == want, (
+            f"case={case} n={n} keep={n_keep} bias={structural_bias}: "
+            f"heap^naive={sorted(got ^ want)}"
+        )
