@@ -178,6 +178,56 @@ def q_kg_merge_apply(spark, sf_dir):
     return merged_edges.select("src", "dst", "edge_key", "weight")
 
 
+_MERGE_FX_CACHE: dict = {}
+
+
+def _merge_fixture_graph(spark: SparkSession, sf_dir: str):
+    """Full G1 merge fixpoint (the DISTRIBUTED DataFrame rounds, forced via
+    merge_local_threshold=0) over the CONFLUENT merge-fixture corpus
+    (openie_spark.corpus.merge_fixture_*): disjoint 2-candidate merge
+    groups plus chain groups whose second-round group only becomes
+    discoverable after round 1, so every merge order converges to the same
+    graph — the reference's sequential greedy output (goldens/
+    merge_fixture/, tools/make_merge_goldens.py; digest-identical under two
+    PYTHONHASHSEED values) is therefore an EXACT oracle. strict_parity=True
+    reproduces the reference's absorbed-node in-edge drop."""
+    if sf_dir in _MERGE_FX_CACHE:
+        return _MERGE_FX_CACHE[sf_dir]
+    from openie_spark.corpus import MERGE_FX_MAX_GROUPS, merge_fixture_pages_df
+    from openie_spark.pipeline import PipelineConfig, run_pipeline
+
+    n_docs = _read(spark, sf_dir, "documents").count()
+    n_groups = max(4, min(n_docs // 4, MERGE_FX_MAX_GROUPS))
+    pages = merge_fixture_pages_df(spark, n_groups)
+    cfg = PipelineConfig(
+        skip_clustering=True,
+        skip_merge=False,
+        entities_limit=None,
+        strict_parity=True,
+        merge_local_threshold=0,
+    )
+    out = run_pipeline(spark, pages, cfg, input_fingerprint=f"mergefx:{n_groups}")
+    for k in ("nodes", "edges"):
+        out[k] = out[k].localCheckpoint(eager=False)
+    _MERGE_FX_CACHE[sf_dir] = out
+    return out
+
+
+def q_kg_merge_fixpoint_nodes(spark, sf_dir):
+    """G1 (the iterated merge loop, distributed branch) — converged node
+    table vs the reference's merge_relations on the confluent fixture."""
+    out = _merge_fixture_graph(spark, sf_dir)
+    return out["nodes"].select(
+        "lemma_key", "weight", "degree_in", "degree_out", "in_weight", "out_weight"
+    )
+
+
+def q_kg_merge_fixpoint_edges(spark, sf_dir):
+    """G1 — converged edge table vs the reference (see nodes docstring)."""
+    out = _merge_fixture_graph(spark, sf_dir)
+    return out["edges"].select("src", "dst", "edge_key", "weight")
+
+
 def q_node_aggregate(spark, sf_dir):
     # A1 shape: salted-groupBy node upsert (weight=count, attrs aggregated)
     orders = _read(spark, sf_dir, "orders")
@@ -409,6 +459,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "kg_merge_apply": q_kg_merge_apply,
+        "kg_merge_fixpoint_nodes": q_kg_merge_fixpoint_nodes,
+        "kg_merge_fixpoint_edges": q_kg_merge_fixpoint_edges,
         # relational operator shapes with full DuckDB oracles
         "node_aggregate": q_node_aggregate,
         "edge_aggregate": q_edge_aggregate,
@@ -448,6 +500,10 @@ def oracle_sql() -> dict[str, str]:
     G_SIMHASH = "'/root/repo/goldens/dataops_sf01/simhash_sigs.parquet'"
     G_ANN_BUCKETS = "'/root/repo/goldens/dataops_sf01/ann_buckets.parquet'"
     G_ANN_PROBES = "'/root/repo/goldens/dataops_sf01/ann_probe_buckets.parquet'"
+    # reference-derived goldens for the FULL merge fixpoint on the
+    # confluent fixture corpus (tools/make_merge_goldens.py)
+    G_MFX_NODES = "'/root/repo/goldens/merge_fixture/nodes_merged.parquet'"
+    G_MFX_EDGES = "'/root/repo/goldens/merge_fixture/edges_merged.parquet'"
     # shared CTE: A2 edge aggregation over the golden triples. Grouped by
     # (src, dst, edge_key) ONLY — two surface relations sharing lemmas
     # (inflections) share one edge. A non-literal edge always has a
@@ -544,6 +600,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, dst, edge_key, sum(weight)::BIGINT AS weight
             FROM rewritten GROUP BY 1, 2, 3
+        """,
+        "kg_merge_fixpoint_nodes": f"""
+            SELECT lemma_key, weight, degree_in, degree_out, in_weight, out_weight
+            FROM {G_MFX_NODES}
+        """,
+        "kg_merge_fixpoint_edges": f"""
+            SELECT src, dst, edge_key, weight FROM {G_MFX_EDGES}
         """,
         "ngram_jaccard": f"""
             WITH base AS (

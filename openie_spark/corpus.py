@@ -291,3 +291,66 @@ def pages_df(spark, n_pages: int, seed: int = 42, n_sents: int = 6, partitions: 
         lambda i: Row(**gen_page(seed, i, n_sents))
     )
     return spark.createDataFrame(rdd, schema=PAGES_SCHEMA_DDL)
+
+
+# ---- merge-fixpoint fixture corpus ------------------------------------------
+# A corpus whose merge fixpoint is provably CONFLUENT, so the full G1 loop
+# can be oracled EXACTLY against the reference's sequential greedy merge
+# (the p500 corpus is not confluent — measured 1831-vs-1826-node band).
+# Construction: per-group disjoint vocabulary, and within each group exactly
+# one 2-candidate merge group (anchor a → {b, c} under one verb key, from
+# two different sentences). With disjoint 2-candidate groups every merge
+# order produces the same graph. Chain groups (every 4th) additionally plant
+# a SECOND-round merge that only becomes discoverable after round 1: the
+# absorbed candidate's out-edge (c→x) re-points onto the main (b), which
+# already has an out-edge (b→y) under the same verb key — forming a new
+# 2-candidate group {x, y} under the merged node. Before round 1 neither
+# (b,·) nor (c,·) has two targets, so the discovery order is forced and the
+# chain stays confluent while exercising the ITERATED fixpoint, not just a
+# single bulk round.
+
+MERGE_FX_NOUNS_PER_GROUP = 5
+MERGE_FX_MAX_GROUPS = N_TAIL_NOUNS // MERGE_FX_NOUNS_PER_GROUP
+
+
+def merge_fixture_sentences(g: int) -> List[str]:
+    """The sentences of merge-fixture group ``g`` (see block comment)."""
+    assert 0 <= g < MERGE_FX_MAX_GROUPS, g
+    base = MERGE_FX_NOUNS_PER_GROUP * g
+    a, b, c, x, y = (TAIL_NOUNS[base + j][0] for j in range(5))
+    v = VERBS_ALL[(2 * g) % len(VERBS_ALL)][0]
+    w = VERBS_ALL[(2 * g + 1) % len(VERBS_ALL)][0]
+    sents = [f"{a} {v} {b}.", f"{a} {v} {c}."]
+    if g % 4 == 3:  # chain group → second fixpoint round
+        sents += [f"{c} {w} {x}.", f"{b} {w} {y}."]
+    return sents
+
+
+def merge_fixture_pages(g: int) -> List[dict]:
+    """Pages-table rows for group ``g``: one sentence per page (so the
+    shared-sentence exclusion never fires inside a group), plain format,
+    utf-8, lang ru."""
+    rows = []
+    for j, sent in enumerate(merge_fixture_sentences(g)):
+        rows.append(
+            {
+                "url": f"https://merge.example.org/g{g}/s{j}",
+                "warc_ts": dt.datetime(2026, 1, 1) + dt.timedelta(days=g % 60),
+                "html": f"<p>{sent}</p>".encode("utf-8"),
+                "text": None,
+                "lang": "ru",
+            }
+        )
+    return rows
+
+
+def merge_fixture_pages_df(spark, n_groups: int, partitions: int | None = None):
+    """Distributed deterministic merge-fixture corpus."""
+    from pyspark.sql import Row
+
+    sc = spark.sparkContext
+    partitions = partitions or max(2, sc.defaultParallelism)
+    rdd = sc.parallelize(range(n_groups), partitions).flatMap(
+        lambda g: [Row(**r) for r in merge_fixture_pages(g)]
+    )
+    return spark.createDataFrame(rdd, schema=PAGES_SCHEMA_DDL)

@@ -53,6 +53,11 @@ class PipelineConfig:
     skip_merge: bool = False
     work_dir: Optional[str] = None
     max_descriptions: Optional[int] = None
+    # merge_fixpoint dispatch override: None → merge.LOCAL_FIXPOINT_THRESHOLD
+    # (driver-local fast path for small aggregated graphs); 0 → always the
+    # distributed DataFrame rounds (identical semantics, A/B-tested). Not in
+    # fingerprint(): the two paths produce identical output by contract.
+    merge_local_threshold: Optional[int] = None
     # Fuse clean→parse→extract into one mapInPandas (one JVM↔Python
     # crossing instead of three). Only takes effect WITHOUT a work_dir —
     # checkpointed runs materialize the parse stage for resume, which is
@@ -183,7 +188,9 @@ def run_pipeline(
         ):
             nodes, edges = ledger.read("nodes_merged"), ledger.read("edges_merged")
         else:
-            m_nodes, m_edges, _ = merge_fixpoint(nodes, edges, mcfg)
+            m_nodes, m_edges, _ = merge_fixpoint(
+                nodes, edges, mcfg, local_threshold=cfg.merge_local_threshold
+            )
             if ledger is not None:
                 nodes = ledger.run_stage("nodes_merged", fp, lambda: m_nodes)
                 edges = ledger.run_stage("edges_merged", fp, lambda: m_edges)

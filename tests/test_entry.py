@@ -130,6 +130,12 @@ GOLDEN_DIGESTS = {
     "p500/triples.parquet": ("28305dee1432f63e", 5244),
     "p500/nodes_merged.parquet": ("7acf80729fd210b7", 1831),
     "p500/edges_merged.parquet": ("4484dec5dcc35544", 4345),
+    # reference-derived CONFLUENT merge-fixture goldens backing the exact
+    # kg_merge_fixpoint_{nodes,edges} oracles (tools/make_merge_goldens.py;
+    # digest-identical under two PYTHONHASHSEED values = empirical
+    # order-insensitivity of the reference's greedy merge on this corpus)
+    "merge_fixture/nodes_merged.parquet": ("336590b09cd2047d", 281),
+    "merge_fixture/edges_merged.parquet": ("5366aec5ae7a8200", 156),
     # second-implementation pure-Python/numpy goldens
     # (tools/make_dataops_goldens.py) backing the simhash_dedup /
     # ann_lsh_topk oracles; dir named for its source sf (driver sf0.01).
