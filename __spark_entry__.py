@@ -228,6 +228,32 @@ def q_kg_merge_fixpoint_edges(spark, sf_dir):
     return out["edges"].select("src", "dst", "edge_key", "weight")
 
 
+def q_kg_clustering(spark, sf_dir):
+    """M2: the KMeans sweep + silhouette model selection (cluster_sentences)
+    on the deterministic 5-blob fixture (corpus.clustering_fixture_rows —
+    separation makes the optimal partition unique and the sweep argmax
+    unambiguous). Input is coalesced to ONE partition so Spark's seeded
+    k-means|| is fully deterministic across environments/parallelism.
+    Output canonicalizes cluster ids to the min-url member, so the
+    label-permutation between Spark and the golden's pure-numpy Lloyd's
+    sweep (tools/make_clustering_goldens.py) cancels; the oracle is exact
+    SELECT-from-golden."""
+    from pyspark.sql import Window
+
+    from openie_spark.clustering import cluster_sentences
+    from openie_spark.corpus import clustering_fixture_rows
+
+    rows = clustering_fixture_rows()
+    fixture = spark.createDataFrame(
+        rows, "url string, sent_id int, sent_vec array<float>"
+    ).coalesce(1)
+    labels = cluster_sentences(fixture, seed=42)
+    w = Window.partitionBy("cluster")
+    return labels.withColumn("cluster_rep", F.min("url").over(w)).select(
+        "url", "cluster_rep"
+    )
+
+
 def q_node_aggregate(spark, sf_dir):
     # A1 shape: salted-groupBy node upsert (weight=count, attrs aggregated)
     orders = _read(spark, sf_dir, "orders")
@@ -461,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_merge_apply": q_kg_merge_apply,
         "kg_merge_fixpoint_nodes": q_kg_merge_fixpoint_nodes,
         "kg_merge_fixpoint_edges": q_kg_merge_fixpoint_edges,
+        "kg_clustering": q_kg_clustering,
         # relational operator shapes with full DuckDB oracles
         "node_aggregate": q_node_aggregate,
         "edge_aggregate": q_edge_aggregate,
@@ -607,6 +634,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kg_merge_fixpoint_edges": f"""
             SELECT src, dst, edge_key, weight FROM {G_MFX_EDGES}
+        """,
+        "kg_clustering": """
+            SELECT url, cluster_rep
+            FROM '/root/repo/goldens/clustering/assignments.parquet'
         """,
         "ngram_jaccard": f"""
             WITH base AS (

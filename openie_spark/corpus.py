@@ -354,3 +354,37 @@ def merge_fixture_pages_df(spark, n_groups: int, partitions: int | None = None):
         lambda g: [Row(**r) for r in merge_fixture_pages(g)]
     )
     return spark.createDataFrame(rdd, schema=PAGES_SCHEMA_DDL)
+
+
+# ---- clustering fixture -----------------------------------------------------
+# M2 (KMeans sweep + silhouette selection) driver-oracle fixture: n_blobs
+# extremely separated gaussian blobs (center distance 100, intra-blob noise
+# 0.01), large enough to clear MIN_CLUSTER_SIZE·2 sentences. The separation
+# makes the optimal partition UNIQUE and the silhouette sweep's argmax
+# (k = n_blobs) unambiguous, so any correct KMeans — Spark ML's seeded
+# k-means|| and the golden generator's pure-numpy Lloyd's — converges to
+# the same blob assignment; comparisons canonicalize cluster ids to the
+# min-url member (label-permutation invariant).
+
+CLUSTER_FX_BLOBS = 5
+CLUSTER_FX_PER_BLOB = 60
+CLUSTER_FX_DIM = 8
+
+
+def clustering_fixture_rows(
+    n_blobs: int = CLUSTER_FX_BLOBS,
+    per_blob: int = CLUSTER_FX_PER_BLOB,
+    dim: int = CLUSTER_FX_DIM,
+    seed: int = 42,
+) -> List[tuple]:
+    """[(url, sent_id, sent_vec)] — pure function of the parameters."""
+    assert n_blobs <= dim
+    rows = []
+    for b in range(n_blobs):
+        for i in range(per_blob):
+            rng = _rng_for(seed, "blob", b, i)
+            vec = [0.0] * dim
+            vec[b] = 100.0
+            vec = [v + rng.gauss(0.0, 0.01) for v in vec]
+            rows.append((f"https://cluster.example.org/{b * per_blob + i:04d}", 0, vec))
+    return rows

@@ -136,6 +136,10 @@ GOLDEN_DIGESTS = {
     # order-insensitivity of the reference's greedy merge on this corpus)
     "merge_fixture/nodes_merged.parquet": ("336590b09cd2047d", 281),
     "merge_fixture/edges_merged.parquet": ("5366aec5ae7a8200", 156),
+    # pure-numpy Lloyd's sweep golden backing the kg_clustering (M2) oracle
+    # (tools/make_clustering_goldens.py; unique optimal partition by
+    # construction — see corpus.clustering_fixture_rows)
+    "clustering/assignments.parquet": ("1212be52f2a9d846", 300),
     # second-implementation pure-Python/numpy goldens
     # (tools/make_dataops_goldens.py) backing the simhash_dedup /
     # ann_lsh_topk oracles; dir named for its source sf (driver sf0.01).
