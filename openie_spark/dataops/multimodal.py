@@ -1,12 +1,19 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The image/audio decode libraries are not in this container, so the decode
-kernels are seams: ``decoder="stub"`` raises NotImplementedError with the
-exact integration point named; ``decoder="fake"`` is a deterministic fake
-(dimensions/features derived from a content hash) that keeps every piece of
-Spark plumbing — schema, Arrow batch shape, mapInPandas signature,
-partitioning — real and testable. A production deployment swaps one
-function (``_decode_image_real``) and nothing else moves.
+Decode tiers:
+- ``decoder="headers"`` (default): REAL container parsing from file bytes
+  with stdlib ``struct`` only — PNG IHDR / GIF screen descriptor / JPEG
+  SOFn width+height, WAV fmt/data sample-frame count — plus a real
+  byte-histogram feature vector. This is what a user hits first and needs
+  no external libraries.
+- ``decoder="real"``: the pixel-decode seam — raises NotImplementedError
+  naming the integration point (Pillow/opencv are not in this container).
+  A production deployment swaps one function (``_decode_image_real``) and
+  nothing else moves.
+- ``decoder="fake"``: deterministic hash-derived dims/features for
+  schema-only tests.
+All tiers share the same Spark plumbing — schema, Arrow batch shape,
+mapInPandas signature, partitioning.
 
 Scale notes: media bytes dominate row size, so every operator here
 projects the binary column as late as possible and returns metadata-only
@@ -59,6 +66,64 @@ def _decode_image_real(content: bytes):  # pragma: no cover - integration seam
     )
 
 
+def _decode_headers(content: bytes, feat_dim: int):
+    """REAL container-header decode with stdlib ``struct`` only — no
+    Pillow/opencv needed: PNG IHDR, GIF logical screen descriptor, JPEG
+    SOF0/1/2 scan, WAV RIFF fmt/data chunks (n_frames = sample frames =
+    data_size / block_align). Features are a normalized byte histogram
+    (``feat_dim`` bins) — a real, deterministic content feature. Unknown
+    or truncated containers raise, isolating into decode_error."""
+    import struct
+
+    if not content:
+        raise ValueError("empty media payload")
+    w = h = None
+    nf = 1
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(content) < 24 or content[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        w, h = struct.unpack(">II", content[16:24])
+    elif content[:6] in (b"GIF87a", b"GIF89a"):
+        if len(content) < 10:
+            raise ValueError("GIF truncated")
+        w, h = struct.unpack("<HH", content[6:10])
+    elif content[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                raise ValueError("JPEG marker desync")
+            marker = content[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                break
+            (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+            i += 2 + seg_len
+        if w is None:
+            raise ValueError("JPEG SOF not found")
+    elif content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        i = 12
+        block_align = data_size = None
+        while i + 8 <= len(content):
+            cid = content[i : i + 4]
+            (sz,) = struct.unpack("<I", content[i + 4 : i + 8])
+            if cid == b"fmt " and i + 22 <= len(content):
+                (block_align,) = struct.unpack("<H", content[i + 20 : i + 22])
+            elif cid == b"data":
+                data_size = sz
+            i += 8 + sz + (sz & 1)  # chunks are word-aligned
+        if block_align is None or data_size is None:
+            raise ValueError("WAV missing fmt/data chunk")
+        w = h = 0
+        nf = data_size // max(block_align, 1)
+    else:
+        raise ValueError("unknown container signature")
+    hist, _ = np.histogram(
+        np.frombuffer(content, dtype=np.uint8), bins=feat_dim, range=(0, 256)
+    )
+    feats = (hist / max(len(content), 1)).astype(np.float32)
+    return int(w), int(h), int(nf), feats
+
+
 def _decode_fake(content: bytes, feat_dim: int):
     """Deterministic fake decode: dims + features from the content digest."""
     digest = hashlib.sha256(content or b"").digest()
@@ -71,12 +136,14 @@ def _decode_fake(content: bytes, feat_dim: int):
 
 
 def decode_media(
-    media_df: DataFrame, decoder: str = "fake", feat_dim: int = 32
+    media_df: DataFrame, decoder: str = "headers", feat_dim: int = 32
 ) -> DataFrame:
     """media table → decoded metadata + feature vectors (binary pruned).
 
     One mapInPandas stage; per-item failures isolate into decode_error.
-    """
+    decoder: "headers" (default — REAL stdlib container parse, see
+    _decode_headers), "fake" (hash-derived dims, schema-only testing), or
+    "real" (the pixel-decoder integration seam)."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,7 +157,9 @@ def decode_media(
                 rows["media_id"].append(mid)
                 rows["mime"].append(mime)
                 try:
-                    if decoder == "fake":
+                    if decoder == "headers":
+                        w, h, nf, feats = _decode_headers(content, feat_dim)
+                    elif decoder == "fake":
                         w, h, nf, feats = _decode_fake(content, feat_dim)
                     else:
                         w, h, nf, feats = _decode_image_real(content)
@@ -124,15 +193,77 @@ def frame_sample_plan(decoded_df: DataFrame, every_n: int = 2) -> DataFrame:
     )
 
 
+def synthetic_png(width: int, height: int, rng) -> bytes:
+    """A real PNG signature + IHDR chunk (CRC faked) + random tail."""
+    import struct
+
+    ihdr = struct.pack(">II", width, height) + b"\x08\x02\x00\x00\x00"
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + b"\x00" * 4
+        + bytes(rng.getrandbits(8) for _ in range(64))
+    )
+
+
+def synthetic_gif(width: int, height: int, rng) -> bytes:
+    import struct
+
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height)
+        + bytes(rng.getrandbits(8) for _ in range(64))
+    )
+
+
+def synthetic_jpeg(width: int, height: int, rng) -> bytes:
+    """SOI + APP0 + SOF0 carrying the dimensions."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", height, width) + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0
+
+
+def synthetic_wav(n_frames: int, rng, channels: int = 2, bits: int = 16) -> bytes:
+    """A real RIFF/WAVE container: fmt chunk + data chunk of n_frames
+    sample frames."""
+    import struct
+
+    block_align = channels * bits // 8
+    data = bytes(rng.getrandbits(8) for _ in range(n_frames * block_align))
+    fmt = struct.pack("<HHIIHH", 1, channels, 44100, 44100 * block_align,
+                      block_align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synthetic_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic media table with REAL container bytes (planted
+    dimensions/frame counts recoverable by the headers decoder), plus a
+    corrupt payload every 16th row so decode_error isolation is exercised."""
     import random
 
     rng = random.Random(seed)
     rows = []
     for i in range(n):
-        payload = bytes(rng.getrandbits(8) for _ in range(128 + rng.randrange(256)))
-        mime = rng.choice(["image/jpeg", "image/png", "video/mp4", "audio/wav"])
+        kind = i % 4
+        w, h = 16 + (i * 7) % 240, 16 + (i * 13) % 240
+        if i % 16 == 15:
+            payload, mime = bytes(rng.getrandbits(8) for _ in range(96)), "image/png"
+        elif kind == 0:
+            payload, mime = synthetic_png(w, h, rng), "image/png"
+        elif kind == 1:
+            payload, mime = synthetic_gif(w, h, rng), "image/gif"
+        elif kind == 2:
+            payload, mime = synthetic_jpeg(w, h, rng), "image/jpeg"
+        else:
+            payload, mime = synthetic_wav(100 + i, rng), "audio/wav"
         rows.append(
             (i, f"https://media.example.org/{i}", mime, payload,
              {"source": f"src{i % 7}", "bytes": len(payload)})

@@ -309,3 +309,53 @@ def test_simhash_matches_pure_python_golden_impl(spark):
     got = {r["doc_id"]: r["simhash"] for r in simhash_df(df).collect()}
     for i, t in enumerate(texts):
         assert got[i] == simhash64(t), (i, t)
+
+
+def test_multimodal_headers_decode_real_bytes(spark):
+    """The default headers decoder recovers the PLANTED dimensions / frame
+    counts from real container bytes (PNG IHDR, GIF screen descriptor,
+    JPEG SOF0, WAV fmt/data), and corrupt payloads isolate into
+    decode_error instead of failing the batch."""
+    from openie_spark.dataops.multimodal import decode_media, synthetic_media_df
+
+    n = 32
+    media = synthetic_media_df(spark, n=n)
+    rows = {r["media_id"]: r for r in decode_media(media, feat_dim=16).collect()}
+    assert len(rows) == n
+    for i in range(n):
+        r = rows[i]
+        if i % 16 == 15:  # planted corrupt payload
+            assert r["decode_error"] is not None and r["width"] is None
+            continue
+        assert r["decode_error"] is None, (i, r["decode_error"])
+        w, h = 16 + (i * 7) % 240, 16 + (i * 13) % 240
+        if i % 4 == 3:  # WAV: frame count, no spatial dims
+            assert (r["width"], r["height"], r["n_frames"]) == (0, 0, 100 + i)
+        else:
+            assert (r["width"], r["height"]) == (w, h), (i, r)
+        # byte-histogram features: non-negative, sum ≤ 1, fixed length
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-5
+
+
+def test_multimodal_headers_truncated_payloads(spark):
+    """Truncated real containers produce decode_error rows, never crashes."""
+    from openie_spark.dataops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        synthetic_png,
+    )
+    import random
+
+    png = synthetic_png(100, 50, random.Random(1))
+    rows = [
+        (0, "u0", "image/png", png[:10], {"source": "s", "bytes": 10}),
+        (1, "u1", "image/png", b"", {"source": "s", "bytes": 0}),
+        (2, "u2", "audio/wav", b"RIFF\x00\x00\x00\x00WAVE", {"source": "s", "bytes": 12}),
+        (3, "u3", "image/png", png, {"source": "s", "bytes": len(png)}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert got[3]["decode_error"] is None and (got[3]["width"], got[3]["height"]) == (100, 50)
+    for i in (0, 1, 2):
+        assert got[i]["decode_error"] is not None, i
