@@ -1,12 +1,12 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding near-dup.
 
-Design stance: everything that can stay JVM-side does — shingling is
-``transform``/``sequence`` over split tokens, MinHash signatures are
-``min(hash(shingle, seed_i))`` aggregates, LSH banding is a groupBy on
-banded signature slices, Jaccard verification is an explode + equi-join +
-count. No Python in the hot path except SimHash's bit-vote (numpy via a
-pandas UDF — 64 popcounts per row vectorize poorly in SQL).
+Design stance: EVERYTHING stays JVM-side — shingling is a let-bound
+``transform``/``sequence`` over split tokens, MinHash signatures hash each
+shingle once (``xxhash64`` mod 2³¹−1) and derive lanes with affine mixes,
+SimHash is an xxhash64-per-token bit-vote ``aggregate`` fold, LSH banding
+is a groupBy on banded signature slices, Jaccard verification is an
+array-intersect join. There is NO Python in any hot path.
 
 Scale notes per operator:
 - exact: one shuffle on the content hash; the canonical-survivor choice is

@@ -445,7 +445,19 @@ def merge_pair_edge_rows(rows):
 def merge_parallel_edges(edges: DataFrame) -> DataFrame:
     """Distributed pair-local edge merging: grouped-map over (src, dst);
     each group is tiny, so the per-group Python is O(k²) on k ≤ dozens.
-    Emits a ``changed`` flag so the fixpoint can detect quiescence."""
+    Emits a ``changed`` flag so the fixpoint can detect quiescence.
+
+    Scale guard: the overwhelming bulk of (src, dst) pairs PROVABLY cannot
+    merge — a merge needs ≥2 non-literal rows carrying clusters with ≥2
+    DISTINCT labels on one pair (merge_pair_edge_rows skips literal rows,
+    rows without clusters, and duplicate-label groups). Routing every pair
+    through applyInPandas pays per-group pandas overhead on millions of
+    singleton groups per round; instead a cheap aggregate finds the
+    candidate pairs (a sound SUPERSET of mergeable) and only their rows —
+    including their literal rows, so same-key collapse still sees the
+    whole pair — take the Python path; everything else passes through
+    JVM-side with changed=0. Identical output by construction; pinned by
+    the edge-merge parity tests and the kg_merge_fixpoint driver oracle."""
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = pdf.to_dict("records")
@@ -454,7 +466,31 @@ def merge_parallel_edges(edges: DataFrame) -> DataFrame:
         rows, _ = merge_pair_edge_rows(rows)
         return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
 
-    return edges.groupBy("src", "dst").applyInPandas(merge_group, schema=_EDGE_SCHEMA)
+    cand_pairs = (
+        edges.filter(~F.col("label").isin(IS_A, RELATES_TO))
+        .filter(F.size("clusters") > 0)
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("label").alias("_nl"),
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_nl") >= 2))
+        .select("src", "dst", F.lit(True).alias("_cand"))
+    )
+    flagged = edges.join(cand_pairs, ["src", "dst"], "left")
+    passthrough = (
+        flagged.filter(F.col("_cand").isNull())
+        .drop("_cand")
+        .withColumn("changed", F.lit(0))
+        .select([f.name for f in _EDGE_SCHEMA.fields])
+    )
+    merged = (
+        flagged.filter(F.col("_cand").isNotNull())
+        .drop("_cand")
+        .groupBy("src", "dst")
+        .applyInPandas(merge_group, schema=_EDGE_SCHEMA)
+    )
+    return merged.unionByName(passthrough)
 
 
 NODE_SCHEMA_DDL = (

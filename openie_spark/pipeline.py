@@ -62,8 +62,10 @@ class PipelineConfig:
     # crossing instead of three). Only takes effect WITHOUT a work_dir —
     # checkpointed runs materialize the parse stage for resume, which is
     # worth the extra crossings. Output is identity-tested vs the unfused
-    # stages. Off by default: the unfused plan keeps per-stage lineage.
-    fuse_extract: bool = False
+    # stages. ON by default since r4: measured 1.9× faster at sf0.1
+    # (median 0.52s vs 0.99s over 5 interleaved reps, tools/bench_fuse.py);
+    # set False to keep per-stage lineage for debugging.
+    fuse_extract: bool = True
 
     def fingerprint(self) -> str:
         import hashlib
