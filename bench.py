@@ -173,10 +173,32 @@ def main() -> None:
     edges = aggregate_edges(labeled, max_descriptions=256)
     bench("kg_graph", lambda: force(with_degrees(nodes, edges)), cooldown=30)
 
-    # end-to-end wall for throughput: clean+parse+extract+graph
-    e2e = sum(times[k] for k in ("kg_clean", "kg_parse", "kg_extract", "kg_graph"))
+    # The production no-work_dir path since r4 is the FUSED
+    # clean→parse→extract (PipelineConfig.fuse_extract=True, one
+    # mapInPandas crossing — measured 1.9× the unfused stages, BENCH/
+    # fuse_ab.json). Timed as its own query; the unfused per-stage numbers
+    # above remain for stage-level diagnosis and round-over-round
+    # comparability.
+    from openie_spark.extract import extract_triples_from_pages
+
+    fused = ok_triples(
+        extract_triples_from_pages(
+            pages, frozenset(STOPWORDS_FIXTURE), with_vectors=True, lang="ru"
+        )
+    )
+    bench("kg_fused", lambda: force(fused), repeat=2, cooldown=15)
+
+    # end-to-end wall for throughput: the production path (fused + graph)
+    e2e = times["kg_fused"] + times["kg_graph"]
     meta["triples_per_sec"] = round(n_triples / e2e, 1) if e2e > 0 else None
     meta["pages_per_sec"] = round(n_rows / e2e, 1) if e2e > 0 else None
+    # unfused-stage sum kept for r1-r3 comparability
+    e2e_unfused = sum(
+        times[k] for k in ("kg_clean", "kg_parse", "kg_extract", "kg_graph")
+    )
+    meta["triples_per_sec_unfused"] = (
+        round(n_triples / e2e_unfused, 1) if e2e_unfused > 0 else None
+    )
 
     # ---- generic / training-data operators ----------------------------------
     from openie_spark.dataops.dedup import exact_dedup, minhash_lsh_pairs
