@@ -409,6 +409,29 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (KMeans coarse quantizer + n_probe nearest cells + exact
+    cosine top-k) on the deterministic 5-blob fixture: the blob partition
+    is the UNIQUE k-means optimum, so Spark ML's seeded k-means|| and the
+    golden's pure-numpy Lloyd's (tools/make_ivf_goldens.py) must agree on
+    the cells, the probed candidate set, and hence the exact top-k.
+    Single-partition input for cross-environment determinism (same trick
+    as kg_clustering). Oracle: SELECT from golden expected output."""
+    from openie_spark.corpus import clustering_fixture_rows
+    from openie_spark.dataops.similarity import ivf_topk
+
+    rows = clustering_fixture_rows()
+    fixture = spark.createDataFrame(
+        [(i, r[2]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    probe = rows[0][2]
+    return ivf_topk(fixture, probe, k=20, n_cells=5, n_probe=2, seed=42).select(
+        "vec_id",
+        F.round(F.col("cosine") * 1e4).cast("bigint").alias("cosine_e4"),
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """Exact-oracled: the operator's contract is LSH-candidates verified by
     EXACT shingle Jaccard ≥ threshold, so precision is 1 by construction,
@@ -441,6 +464,24 @@ def q_simhash_dedup(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=6).select(
         "id_a", "id_b", "hamming"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, EXACT within the blocking key
+    (blocking_col='label' → a per-block self-join, no approximation), so
+    the DuckDB oracle is the same self-join with list_cosine_similarity.
+    Threshold 0.35 sized to the testdata's within-label cosine
+    distribution (max 0.475 — the tables carry no true near-dups)."""
+    from openie_spark.dataops.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, blocking_col="label", min_cosine=0.35
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine") * 1e4).cast("bigint").alias("cosine_e4"),
     )
 
 
@@ -503,9 +544,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
         "events_top_event": q_events_top_event,
         "events_rollup": q_events_rollup,
     }
@@ -639,6 +682,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, cluster_rep
             FROM '/root/repo/goldens/clustering/assignments.parquet'
         """,
+        "ann_ivf_topk": """
+            SELECT vec_id, cosine_e4
+            FROM '/root/repo/goldens/ivf/expected_topk.parquet'
+        """,
         "ngram_jaccard": f"""
             WITH base AS (
               SELECT doc_id, source, {toks} AS tk FROM documents
@@ -762,6 +809,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint": f"""
             SELECT doc_id, md5({norm}) AS fingerprint FROM documents
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding) * 1e4)::BIGINT AS cosine_e4
+            FROM embeddings a
+            JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
         """,
         "ann_cosine_topk": """
             SELECT vec_id,

@@ -140,6 +140,9 @@ GOLDEN_DIGESTS = {
     # (tools/make_clustering_goldens.py; unique optimal partition by
     # construction — see corpus.clustering_fixture_rows)
     "clustering/assignments.parquet": ("1212be52f2a9d846", 300),
+    # pure-numpy IVF expected-output golden backing the ann_ivf_topk
+    # oracle (tools/make_ivf_goldens.py; same unique-optimum blob fixture)
+    "ivf/expected_topk.parquet": ("73f1cdd2c2979fc9", 20),
     # second-implementation pure-Python/numpy goldens
     # (tools/make_dataops_goldens.py) backing the simhash_dedup /
     # ann_lsh_topk oracles; dir named for its source sf (driver sf0.01).
