@@ -80,3 +80,30 @@ def test_merge_mapping_rewrite_is_broadcast(spark):
     mapping = spark.createDataFrame([("a", "b")], "other string, main string")
     _, me = apply_node_mapping(n, e, mapping, MergeConfig(dim=0))
     assert "BroadcastHashJoin" in _plan(me)
+
+
+def test_minhash_signatures_plan_is_narrow(spark):
+    """The r4 signature fold must stay a pure narrow projection: one string
+    hash per shingle + affine lane mixes, NO shuffle — a regression to an
+    explode/groupBy shape would shuffle n_docs x n_shingles rows at scale."""
+    from openie_spark.dataops.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "h i j k l m n")], "doc_id long, text string"
+    )
+    plan = _plan(minhash_signatures(df))
+    assert "Exchange" not in plan, plan
+
+
+def test_simhash_plan_is_narrow_and_python_free(spark):
+    """The r4 JVM SimHash must stay shuffle-free AND Python-free — no
+    Exchange, no ArrowEvalPython/BatchEvalPython (the old per-token
+    blake2b pandas UDF would reappear as an eval-python node)."""
+    from openie_spark.dataops.dedup import simhash_df
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    plan = _plan(simhash_df(df))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
