@@ -115,3 +115,30 @@ def triples_rate_monitor(
         .groupBy(F.window("warc_ts", window))
         .agg(F.count(F.lit(1)).alias("n_triples"))
     )
+
+
+def stream_dedup_docs(
+    docs_stream: DataFrame,
+    ts_col: str = "ingest_ts",
+    watermark: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """First-seen-only streaming exact dedup on the normalized content hash
+    — the ingest-side filter of a training-data pipeline (drop re-crawled
+    boilerplate before it ever reaches storage).
+
+    Built on ``dropDuplicatesWithinWatermark``: per-key dedup state is
+    EVICTED once the watermark passes it, so state is bounded by the
+    (event-time window × distinct-hash rate), not by the total corpus —
+    the property that makes this viable on an unbounded crawl. A duplicate
+    arriving after its original's state expired is re-emitted; choose the
+    watermark as the max re-crawl lag to suppress. The content hash is the
+    same ``md5(normalized_text)`` the batch exact_dedup groups on, so the
+    streamed survivor set matches batch exact_dedup's hash set over any
+    closed input."""
+    from .dataops.dedup import normalized_text
+
+    hashed = docs_stream.withColumn("content_hash", F.md5(normalized_text(text_col)))
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

@@ -147,3 +147,50 @@ def test_graph_tables_and_gexf(spark, tmp_path):
     export_gexf(nodes, edges, str(gexf))
     content = gexf.read_text()
     assert "gexf" in content and "node_type" in content
+
+
+def test_stream_dedup_matches_batch_hash_set(spark, tmp_path):
+    """Streaming first-seen dedup over a closed file-source input must
+    survive exactly one row per content hash — the same hash set batch
+    exact_dedup produces — with bounded (watermarked) state."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.dataops.dedup import exact_dedup
+    from openie_spark.streaming import stream_dedup_docs
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    rows1 = [(1, "Hello  World"), (2, "other text"), (3, "hello world")]
+    rows2 = [(4, "HELLO\tWORLD"), (5, "fresh content"), (6, "other text")]
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "ingest_ts", F.timestamp_seconds(F.lit(1700000000 + i * 60))
+        ).write.parquet(str(src / f"part{i}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ingest_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    deduped = stream_dedup_docs(stream, watermark="5 minutes")
+    out = tmp_path / "out"
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out))
+    batch_docs = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string"
+    )
+    want_hashes = {
+        r["content_hash"] for r in exact_dedup(batch_docs).collect()
+    }
+    got_hashes = [r["content_hash"] for r in got.collect()]
+    assert sorted(got_hashes) == sorted(set(got_hashes)), "duplicate survived"
+    assert set(got_hashes) == want_hashes
