@@ -51,9 +51,11 @@ def _warm_heavy_shapes(spark) -> None:
     timings measure steady state, not first-execution JIT compilation.
     The minhash signature fold and the dim-64 vector aggregation evaluate
     tens of millions of expression nodes; their first execution in a fresh
-    JVM runs interpreted until HotSpot tiers up (measured: 71s cold vs 4s
-    steady for signatures at sf0.1). A 100 TB job amortizes this to zero;
-    a per-session benchmark must exclude it explicitly."""
+    JVM runs interpreted until HotSpot tiers up (r2-era measurement: 71s
+    cold vs 4s steady for the old 64-hash fold at sf0.1; the r4 affine
+    fold is ~10× lighter but the warmup stays — steady-state is what a
+    100 TB job amortizes to). A per-session benchmark must exclude
+    cold-start explicitly."""
     from pyspark.sql import functions as F
 
     from openie_spark.corpus import dedup_docs_df
