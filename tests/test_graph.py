@@ -528,3 +528,75 @@ def test_find_nodes_to_keep_heap_equals_restart_scan(spark):
             f"case={case} n={n} keep={n_keep} bias={structural_bias}: "
             f"heap^naive={sorted(got ^ want)}"
         )
+
+
+def test_merge_parallel_edges_prefilter_equals_unfiltered(spark):
+    """Randomized A/B: the r4 candidate pre-filter in merge_parallel_edges
+    (only pairs with >=2 non-literal cluster-bearing rows and >=2 distinct
+    labels take the Python path) must be output-identical to routing EVERY
+    (src, dst) pair through the pair-merge — including literal rows,
+    empty-cluster rows, duplicate labels, and shared-description
+    exclusions."""
+    import random
+
+    import pandas as pd
+
+    from openie_spark.merge import (
+        _EDGE_SCHEMA,
+        IS_A,
+        RELATES_TO,
+        merge_pair_edge_rows,
+        merge_parallel_edges,
+    )
+
+    def unfiltered(edges):
+        def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.to_dict("records")
+            for r in rows:
+                r["changed"] = 0
+            rows, _ = merge_pair_edge_rows(rows)
+            return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
+
+        return edges.groupBy("src", "dst").applyInPandas(
+            merge_group, schema=_EDGE_SCHEMA
+        )
+
+    rnd = random.Random(20260818)
+    labels = [IS_A, RELATES_TO, "la", "lb", "lc"]
+    for case in range(6):
+        n_nodes = rnd.randint(3, 8)
+        rows = []
+        for i in range(rnd.randint(6, 25)):
+            s, d = rnd.sample(range(n_nodes), 2)
+            lbl = rnd.choice(labels)
+            rows.append(
+                (
+                    f"n{s}", f"n{d}",
+                    f"{lbl} + obj" if lbl not in (IS_A, RELATES_TO) else lbl,
+                    rnd.randint(1, 3),
+                    lbl, lbl, "obj",
+                    # shared descriptions sometimes → exclusion paths fire
+                    [f"s{rnd.randint(0, 4)}"],
+                    rnd.choice([[], [0], [0, 1], [1]]),
+                )
+            )
+        edges = spark.createDataFrame(
+            rows,
+            "src string, dst string, edge_key string, weight long, "
+            "label string, lemmas string, deprel string, "
+            "descriptions array<string>, clusters array<int>",
+        )
+
+        def snap(df):
+            return sorted(
+                (
+                    r["src"], r["dst"], r["edge_key"], r["weight"], r["label"],
+                    r["lemmas"], r["deprel"], tuple(sorted(r["descriptions"])),
+                    tuple(sorted(r["clusters"])),
+                )
+                for r in df.drop("changed").collect()
+            )
+
+        got = snap(merge_parallel_edges(edges))
+        want = snap(unfiltered(edges))
+        assert got == want, f"case {case}: prefilter changed output"
