@@ -93,15 +93,18 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     """One round of candidate discovery → mapping(other_key → main_key).
 
     Returns an empty DataFrame when no merges remain.
-    """
-    nodesel = nodes.select(
-        F.col("lemma_key"),
-        F.col("weight"),
-        F.col("vector"),
-        F.col("clusters"),
-        F.col("descriptions"),
-    )
 
+    SCALE LAYOUT (r4, forced by the 384k-page capstone): heavy node
+    attributes never ride the bulk candidate shuffles. Membership volume
+    is hot-node-weighted — a hub sits in up to 18,650 groups (measured),
+    so a shuffle that carries its 256-string description set or 64-float
+    vector per MEMBERSHIP multiplies those bytes thousands of times
+    (~50 GB of spill per round on 261k nodes / 2.9M edges). Discovery
+    therefore runs on slim rows (keys + weight + the small cluster
+    array); the shared-sentence exclusion uses GLOBAL node-overlap pairs
+    (bounded by per-sentence arg counts, not memberships); vectors join
+    per-NODE only after main election.
+    """
     mergeable = edges.filter(~F.col("label").isin(IS_A, RELATES_TO))
     # direction "t": shared (source, key) → candidate targets
     # direction "s": shared (target, key) → candidate sources
@@ -124,22 +127,19 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     )
 
     # cluster gate: anchor and candidate share a cluster (relations.py:605-607)
-    anchor_c = nodesel.select(
+    anchor_c = nodes.select(
         F.col("lemma_key").alias("anchor"), F.col("clusters").alias("anchor_clusters")
     )
-    cand_attrs = nodesel.select(
+    cand_attrs = nodes.select(
         F.col("lemma_key").alias("cand"),
         F.col("weight").alias("cand_weight"),
-        F.col("vector").alias("cand_vector"),
         F.col("clusters").alias("cand_clusters"),
-        F.col("descriptions").alias("cand_descs"),
     )
     gated = (
         cand.join(anchor_c, "anchor")
         .join(cand_attrs, "cand")
         .filter(F.arrays_overlap("anchor_clusters", "cand_clusters"))
-        .select("direction", "anchor", "edge_key", "cand", "cand_weight",
-                "cand_vector", "cand_clusters", "cand_descs")
+        .select("direction", "anchor", "edge_key", "cand", "cand_weight")
     )
 
     # groups need ≥2 candidates; cap giant groups by weight desc (hot keys)
@@ -159,17 +159,36 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
         return _empty_mapping(nodes)
 
     # pairwise exclusions: an edge between the pair (either direction) or a
-    # shared source sentence discards BOTH members (relations.py:627-637)
-    a = grouped.select("grp", F.col("cand").alias("c1"), F.col("cand_descs").alias("d1"))
-    b = grouped.select("grp", F.col("cand").alias("c2"), F.col("cand_descs").alias("d2"))
+    # shared source sentence discards BOTH members (relations.py:627-637).
+    #
+    # SCALE SHAPE (r4, forced by the 384k-page / 2.9M-edge capstone run —
+    # three successively-wrong shapes measured before this one):
+    # 1. The pair join must be SLIM. All-pairs-per-group is fine volume-
+    #    wise (the max_group cap bounds it: measured 30.3M pairs over 385k
+    #    real groups ≈ 1.5 GB shuffled slim) — but the original shape also
+    #    carried BOTH members' up-to-256-string description arrays on
+    #    every pair row (~30 KB/row → multi-TB shuffle, one round >20 min).
+    # 2. The edge-exclusion join must be keyed on BOTH members. An
+    #    edge-driven variant joining the edge list into membership on ONE
+    #    endpoint first fans out to Σ deg(v)·groups(v) — measured 16.5
+    #    BILLION intermediate rows on this graph (hot nodes sit in up to
+    #    18,650 groups) and filled the disk. The slim pair list semi-joined
+    #    against both-orientation edges on (c1, c2) is a plain hash join.
+    #    (Both orientations materialized because an OR-of-ANDs condition
+    #    has no equi keys — Spark plans a nested-loop join, one round
+    #    >9 min at 375k nodes.)
+    # 3. The shared-sentence exclusion is GLOBAL, not per-membership:
+    #    "node u and node v share a description" does not depend on the
+    #    group, so overlap pairs come from one explode of the NODE table
+    #    (Σ|descs| rows, ~1M here) self-joined on the description — the
+    #    per-description fan-out is the number of ARGS a sentence has
+    #    (single digits), NOT how many groups its nodes sit in. The slim
+    #    per-group pairs then semi-join this pair set exactly like the
+    #    edge exclusion.
+    a = grouped.select("grp", F.col("cand").alias("c1"))
+    b = grouped.select("grp", F.col("cand").alias("c2"))
     pairs = a.join(b, "grp").filter(F.col("c1") < F.col("c2"))
 
-    # Both orientations of the edge set materialized so the exclusion is a
-    # plain (c1, c2) EQUI-join. The obvious formulation — one join on
-    # (c1==src AND c2==dst) OR (c2==src AND c1==dst) — has no extractable
-    # equi keys, so Spark plans a nested-loop join: measured >9 min for ONE
-    # fixpoint round at 375k nodes / 625k edges, vs seconds with the
-    # union'd hash join. Same rows by construction.
     edge_pairs = edges.select("src", "dst").distinct()
     edge_pairs_both = (
         edge_pairs.select(F.col("src").alias("c1"), F.col("dst").alias("c2"))
@@ -178,13 +197,22 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
         )
         .distinct()
     )
-    pairs_with_edge = pairs.join(edge_pairs_both, ["c1", "c2"], "left_semi").select(
-        "grp", "c1", "c2"
+    pairs_with_edge = pairs.join(edge_pairs_both, ["c1", "c2"], "left_semi")
+
+    node_descs = nodes.select(
+        F.col("lemma_key").alias("c1"), F.explode("descriptions").alias("_d")
     )
-    pairs_desc_overlap = pairs.filter(F.arrays_overlap("d1", "d2")).select(
-        "grp", "c1", "c2"
+    desc_overlap_pairs = (
+        node_descs.join(
+            node_descs.select(F.col("c1").alias("c2"), "_d"), "_d"
+        )
+        .filter(F.col("c1") < F.col("c2"))
+        .select("c1", "c2")
+        .distinct()
     )
-    bad_pairs = pairs_with_edge.unionByName(pairs_desc_overlap).distinct()
+    pairs_desc_overlap = pairs.join(desc_overlap_pairs, ["c1", "c2"], "left_semi")
+
+    bad_pairs = pairs_with_edge.unionByName(pairs_desc_overlap)
     bad_members = (
         bad_pairs.select("grp", F.col("c1").alias("cand"))
         .unionByName(bad_pairs.select("grp", F.col("c2").alias("cand")))
@@ -201,14 +229,22 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
         "n_surv", F.count(F.lit(1)).over(Window.partitionBy("grp"))
     ).filter(F.col("n_surv") >= 2)
 
+    # vectors join per-NODE here — after election, one row per surviving
+    # member, never per raw membership (see docstring)
+    node_vec = nodes.select("lemma_key", F.col("vector").alias("_vec"))
     mains = ranked.filter(F.col("pos") == 1).select(
         "grp",
         F.col("cand").alias("main"),
         F.col("cand_weight").alias("main_weight"),
-        F.col("cand_vector").alias("main_vector"),
+    ).join(
+        node_vec.select(F.col("lemma_key").alias("main"), F.col("_vec").alias("main_vector")),
+        "main",
     )
     others = ranked.filter(F.col("pos") > 1).select(
-        "grp", F.col("cand").alias("other"), F.col("cand_vector").alias("other_vector")
+        "grp", F.col("cand").alias("other")
+    ).join(
+        node_vec.select(F.col("lemma_key").alias("other"), F.col("_vec").alias("other_vector")),
+        "other",
     )
     joined = others.join(mains, "grp").filter(
         cosine_distance_col(F.col("main_vector"), F.col("other_vector"))

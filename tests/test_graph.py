@@ -600,3 +600,37 @@ def test_merge_parallel_edges_prefilter_equals_unfiltered(spark):
         got = snap(merge_parallel_edges(edges))
         want = snap(unfiltered(edges))
         assert got == want, f"case {case}: prefilter changed output"
+
+
+def test_distributed_fixpoint_equals_local_randomized(spark):
+    """Randomized A/B: the DISTRIBUTED merge fixpoint (with the r4
+    linear-shaped exclusion joins) must converge to the same graph as the
+    driver-local fixpoint on random triple sets engineered to fire every
+    exclusion family — repeated sentence texts (shared-description
+    exclusion), edges between group members (edge exclusion), weight ties,
+    multi-group anchors, and >2-candidate groups."""
+    import random
+
+    rnd = random.Random(20260819)
+    for case in range(4):
+        n_args = rnd.randint(4, 9)
+        n_anchors = rnd.randint(2, 4)
+        rows = []
+        sid = 0
+        for _ in range(rnd.randint(8, 22)):
+            anchor = f"anch{rnd.randrange(n_anchors)}"
+            arg = f"arg{rnd.randrange(n_args)}"
+            rel = rnd.choice(["made", "took", "saw"])
+            # few distinct sentence texts → shared-description exclusions
+            text = f"s{rnd.randrange(5)}"
+            if rnd.random() < 0.25:
+                # edges between args → edge exclusions
+                anchor = f"arg{rnd.randrange(n_args)}"
+            rows.append(
+                (f"u{sid}", 0, text, anchor, rel, arg, "obj", V_ZERO, V_ZERO, 0)
+            )
+            sid += 1
+        nodes, edges = _agg(spark, rows)
+        ln, le, _ = merge_fixpoint(nodes, edges, MergeConfig())  # local path
+        dn, de, _ = merge_fixpoint(nodes, edges, MergeConfig(), local_threshold=0)
+        assert our_snapshot(ln, le) == our_snapshot(dn, de), f"case {case}"
