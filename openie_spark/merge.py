@@ -635,6 +635,20 @@ def merge_fixpoint(
 
         if not progressed:
             break
+    else:
+        # while-exhausted without quiescence: the returned tables are the
+        # last round's state, NOT a fixpoint — say so loudly (the 384k-page
+        # capstone used 15 of the default 20 rounds; a larger corpus can
+        # legitimately need more → raise cfg.max_rounds)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "merge_fixpoint: max_rounds=%d exhausted while still progressing"
+            " — returning the non-converged round-%d state; raise"
+            " MergeConfig.max_rounds for this corpus",
+            cfg.max_rounds,
+            rounds,
+        )
     if run_dir is not None:
         # materialize the converged tables to a stable location, then drop
         # the per-round stage tables — previously they lingered forever and
@@ -861,6 +875,15 @@ def merge_fixpoint_local(node_rows, edge_rows, cfg: MergeConfig):
         progressed = progressed or changed
         if not progressed:
             break
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "merge_fixpoint (local): max_rounds=%d exhausted while still"
+            " progressing — returning the non-converged round-%d state",
+            cfg.max_rounds,
+            rounds,
+        )
     return nodes, edges, rounds
 
 
