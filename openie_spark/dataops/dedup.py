@@ -196,6 +196,7 @@ def verify_jaccard(
     text_col: str = "text",
     shingle_n: int = 3,
     method: str = "arrays",
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Exact Jaccard on shingle sets for candidate pairs.
 
@@ -211,20 +212,35 @@ def verify_jaccard(
     semi-joined against ``df`` BEFORE the shingle projection. The naive
     shape shingled the FULL corpus twice (the shingle subtree appears
     once per join side and Catalyst does not CSE across subtrees) — two
-    extra full-corpus passes at 100 TB. ``pairs`` is localCheckpoint'ed
-    (it is consumed three times: two joins + the id set) so the upstream
-    candidate-generation lineage runs exactly once. Measured sandbox
-    tradeoff (sf0.1, A/B): the checkpoint job + semi-join add ~0.7s of
+    extra full-corpus passes at 100 TB. ``pairs`` is consumed three times
+    (two joins + the id set), so it is pinned: ``cache()`` by default —
+    lazy (this function stays plan-building with no eager side effect)
+    and fault-tolerant (a lost block recomputes from lineage, unlike the
+    non-replicated executor blocks of localCheckpoint — SCALE.md §4) —
+    or a durable parquet round-trip when ``checkpoint_dir`` is given (the
+    cluster-grade choice when the candidate lineage is too expensive to
+    risk recomputing; this path IS eager: it writes on call). Measured
+    sandbox tradeoff (sf0.1, A/B): pinning + semi-join add ~0.7s of
     fixed stage latency vs the double-full-shingle shape (2.4s → 3.2s) —
     accepted, because at corpus scale the old shape's two extra full
     passes dominate while the new shape's extra cost stays O(candidates).
+    The cached pairs table is O(candidates) rows of two ids — eviction
+    pressure is negligible; callers looping many verify calls can
+    ``unpersist()`` the returned plan's source or pass checkpoint_dir.
 
     method="explode": the shingle-equi-join plan — keeps per-row state tiny
     (one shingle per row), the right choice only when individual documents
     have huge shingle sets AND the candidate pair list is massive.
     """
     if method == "arrays":
-        pairs = pairs.localCheckpoint(eager=True)
+        if checkpoint_dir is not None:
+            import uuid as _uuid
+
+            path = f"{checkpoint_dir}/verify_pairs_{_uuid.uuid4().hex[:12]}"
+            pairs.write.mode("overwrite").parquet(path)
+            pairs = df.sparkSession.read.parquet(path)
+        else:
+            pairs = pairs.cache()
         ids = (
             pairs.select(F.col("id_a").alias(id_col))
             .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -69,7 +69,8 @@ def _decode_image_real(content: bytes):  # pragma: no cover - integration seam
 def _decode_headers(content: bytes, feat_dim: int):
     """REAL container-header decode with stdlib ``struct`` only — no
     Pillow/opencv needed: PNG IHDR, GIF logical screen descriptor, JPEG
-    SOF0/1/2 scan, WAV RIFF fmt/data chunks (n_frames = sample frames =
+    SOFn scan (0xC0–0xCF minus DHT/JPG/DAC, fill-byte tolerant, stops at
+    SOS), WAV RIFF fmt/data chunks (n_frames = sample frames =
     data_size / block_align). Features are a normalized byte histogram
     (``feat_dim`` bins) — a real, deterministic content feature. Unknown
     or truncated containers raise, isolating into decode_error."""
@@ -88,15 +89,36 @@ def _decode_headers(content: bytes, feat_dim: int):
             raise ValueError("GIF truncated")
         w, h = struct.unpack("<HH", content[6:10])
     elif content[:2] == b"\xff\xd8":
+        # Spec-correct marker walk: markers may be preceded by runs of
+        # 0xFF fill bytes (skip them before reading the marker code, else
+        # seg_len is read from the next marker byte and the walk desyncs);
+        # dimension-bearing frames are the full SOFn family 0xC0–0xCF
+        # minus DHT/JPG/DAC (0xC4/0xC8/0xCC); stop at SOS (0xDA) — after
+        # it comes entropy-coded data, not a marker segment stream.
         i = 2
-        while i + 9 < len(content):
+        while i + 1 < len(content):
             if content[i] != 0xFF:
                 raise ValueError("JPEG marker desync")
+            while i + 1 < len(content) and content[i + 1] == 0xFF:
+                i += 1  # 0xFF fill bytes before the marker code
+            if i + 1 >= len(content):
+                break
             marker = content[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                i += 2  # standalone markers (RSTn/SOI/EOI/TEM): no length
+                continue
+            if marker == 0xDA:  # SOS — no SOF seen before scan data
+                break
+            if i + 3 >= len(content):
+                break
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > len(content):
+                    raise ValueError("JPEG SOF truncated")
                 h, w = struct.unpack(">HH", content[i + 5 : i + 9])
                 break
             (seg_len,) = struct.unpack(">H", content[i + 2 : i + 4])
+            if seg_len < 2:
+                raise ValueError("JPEG bad segment length")
             i += 2 + seg_len
         if w is None:
             raise ValueError("JPEG SOF not found")

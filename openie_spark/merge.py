@@ -421,7 +421,9 @@ def merge_pair_edge_rows(rows):
             ]
             if len(group) < 2:
                 continue
-            labels = [r["label"] for r in group]
+            # NULL label ≡ "" throughout (same convention as the candidate
+            # pre-filter's coalesce) so filtered and unfiltered paths agree
+            labels = [r["label"] or "" for r in group]
             if len(set(labels)) != len(labels):
                 continue
             # pairwise shared-sentence exclusion (both discarded)
@@ -438,14 +440,17 @@ def merge_pair_edge_rows(rows):
                 continue
             # merge: attr set-unions; weight = plain sum (documented
             # delta vs the reference's sum-over-set dedup)
+            # `or ""`: a NULL label/lemmas/deprel row is mergeable (it is
+            # not IS_A/RELATES_TO) and must not crash the group merge —
+            # mirrors the NULL-coalescing candidate pre-filter upstream
             new_label = " | ".join(
-                sorted({p for g in group for p in g["label"].split(" | ")})
+                sorted({p for g in group for p in (g["label"] or "").split(" | ")})
             )
             new_lemmas = " | ".join(
-                sorted({p for g in group for p in g["lemmas"].split(" | ")})
+                sorted({p for g in group for p in (g["lemmas"] or "").split(" | ")})
             )
             new_deprel = " | ".join(
-                sorted({p for g in group for p in g["deprel"].split(" | ")})
+                sorted({p for g in group for p in (g["deprel"] or "").split(" | ")})
             )
             new_descs = sorted({d for g in group for d in _aslist(g["descriptions"])})
             new_clusters = sorted(
@@ -510,13 +515,19 @@ def merge_parallel_edges(edges: DataFrame) -> DataFrame:
         rows, _ = merge_pair_edge_rows(rows)
         return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
 
+    # NULL-safe: isin() is NULL-valued for a NULL label, which would silently
+    # drop such rows from candidacy while merge_pair_edge_rows treats them as
+    # mergeable — coalesce to '' so the pre-filter stays a sound superset
+    # (the pipeline never produces NULL labels, but the contract shouldn't
+    # depend on that).
+    _lbl = F.coalesce(F.col("label"), F.lit(""))
     cand_pairs = (
-        edges.filter(~F.col("label").isin(IS_A, RELATES_TO))
+        edges.filter(~_lbl.isin(IS_A, RELATES_TO))
         .filter(F.size("clusters") > 0)
         .groupBy("src", "dst")
         .agg(
             F.count(F.lit(1)).alias("_n"),
-            F.countDistinct("label").alias("_nl"),
+            F.countDistinct(_lbl).alias("_nl"),
         )
         .filter((F.col("_n") >= 2) & (F.col("_nl") >= 2))
         .select("src", "dst", F.lit(True).alias("_cand"))
@@ -590,7 +601,7 @@ def merge_fixpoint(
         cfg.checkpoint_dir is set (cluster-grade fault tolerance)."""
         if run_dir is None:
             return df.localCheckpoint(eager=True)
-        path = f"{run_dir}/{next(seq):04d}_{name}"
+        path = f"{run_dir}/stages/{next(seq):04d}_{name}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -636,34 +647,74 @@ def merge_fixpoint(
         if not progressed:
             break
     else:
-        # while-exhausted without quiescence: the returned tables are the
-        # last round's state, NOT a fixpoint — say so loudly (the 384k-page
-        # capstone used 15 of the default 20 rounds; a larger corpus can
-        # legitimately need more → raise cfg.max_rounds)
+        # while-exhausted with the last permitted round still making
+        # progress. That round may have been exactly the step that reached
+        # the fixpoint (quiescence was never re-checked), so probe once
+        # before warning: quiescent iff no node mapping remains AND an
+        # edge-merge pass would change nothing. The probe costs one
+        # detection pass, only on this exhaustion path.
         import logging
 
-        logging.getLogger(__name__).warning(
-            "merge_fixpoint: max_rounds=%d exhausted while still progressing"
-            " — returning the non-converged round-%d state; raise"
-            " MergeConfig.max_rounds for this corpus",
-            cfg.max_rounds,
-            rounds,
-        )
+        quiescent = False
+        if rounds > 0:
+            probe_map = find_node_mapping(nodes, edges, cfg)
+            if probe_map.isEmpty():
+                probe_edges = merge_parallel_edges(edges)
+                quiescent = probe_edges.filter(F.col("changed") == 1).isEmpty()
+        if not quiescent:
+            # the 384k-page capstone used 15 of the default 20 rounds; a
+            # larger corpus can legitimately need more → raise max_rounds
+            logging.getLogger(__name__).warning(
+                "merge_fixpoint: max_rounds=%d exhausted before quiescence"
+                " — returning the non-converged round-%d state; raise"
+                " MergeConfig.max_rounds for this corpus",
+                cfg.max_rounds,
+                rounds,
+            )
     if run_dir is not None:
-        # materialize the converged tables to a stable location, then drop
-        # the per-round stage tables — previously they lingered forever and
-        # disk usage grew across runs sharing a work_dir
-        final_nodes = f"{cfg.checkpoint_dir}/merge_final/nodes"
-        final_edges = f"{cfg.checkpoint_dir}/merge_final/edges"
+        # Materialize the converged tables under THIS run's unique dir, then
+        # drop only the per-round stage tables. Finals must NOT live at a
+        # shared fixed path: the returned DataFrames read lazily, so a second
+        # run sharing the work_dir would overwrite them while the first run's
+        # consumers (pipeline ledger, sinks) are still reading — GC of older
+        # runs' finals is an explicit step (gc_merge_runs), never implicit.
+        final_nodes = f"{run_dir}/final/nodes"
+        final_edges = f"{run_dir}/final/edges"
         nodes.write.mode("overwrite").parquet(final_nodes)
         edges.write.mode("overwrite").parquet(final_edges)
         nodes = spark.read.parquet(final_nodes)
         edges = spark.read.parquet(final_edges)
         # Hadoop FS delete (not shutil): checkpoint_dir may be HDFS/S3
         jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(run_dir)
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{run_dir}/stages")
         jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
     return nodes, edges, rounds
+
+
+def gc_merge_runs(spark, checkpoint_dir: str, keep: int = 1) -> int:
+    """Explicitly garbage-collect old merge-run dirs under
+    ``{checkpoint_dir}/merge_rounds``, keeping the ``keep`` most recent
+    (by modification time). merge_fixpoint never deletes another run's
+    finals implicitly — a concurrent run's returned DataFrames read them
+    lazily — so disk reclamation across runs is this explicit step.
+    Returns the number of run dirs removed. HDFS/S3-safe (Hadoop FS API).
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{checkpoint_dir}/merge_rounds")
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    statuses = sorted(
+        (s for s in fs.listStatus(root) if s.isDirectory()),
+        key=lambda s: s.getModificationTime(),
+    )
+    removed = 0
+    for s in statuses[: max(0, len(statuses) - max(keep, 0))]:
+        fs.delete(s.getPath(), True)
+        removed += 1
+    return removed
+
 
 # ---- driver-local fast path ---------------------------------------------------
 

@@ -359,3 +359,63 @@ def test_multimodal_headers_truncated_payloads(spark):
     assert got[3]["decode_error"] is None and (got[3]["width"], got[3]["height"]) == (100, 50)
     for i in (0, 1, 2):
         assert got[i]["decode_error"] is not None, i
+
+
+def _jpeg_bytes(segments):
+    """Assemble SOI + segment bytes for marker-walk edge-case tests."""
+    return b"\xff\xd8" + b"".join(segments)
+
+
+def _jpeg_seg(marker, payload):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def test_jpeg_marker_walk_edge_cases():
+    """The JPEG header scan is spec-correct on the cases a naive walk gets
+    wrong: 0xFF fill bytes before a marker code (a naive walk reads seg_len
+    from the next marker byte and desyncs), progressive/extended SOFn
+    variants beyond SOF0-2 (SOF3/5-7/9-15 all carry dimensions), and an
+    SOS with no preceding SOF (stop — after SOS comes entropy-coded data,
+    not a marker stream — and report SOF-not-found, never a spurious hit
+    from scan bytes)."""
+    import struct
+
+    import pytest
+
+    from openie_spark.dataops.multimodal import _decode_headers
+
+    sof_payload = b"\x08" + struct.pack(">HH", 77, 123) + b"\x01\x11\x00"
+    app0 = _jpeg_seg(0xE0, b"JFIF\x00" + b"\x00" * 9)
+
+    # fill bytes before the SOF marker
+    w, h, nf, _ = _decode_headers(
+        _jpeg_bytes([app0, b"\xff\xff\xff", _jpeg_seg(0xC0, sof_payload)[1:]]), 8
+    )
+    assert (w, h, nf) == (123, 77, 1)
+
+    # every dimension-bearing SOFn variant
+    for marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCF):
+        w, h, _, _ = _decode_headers(
+            _jpeg_bytes([app0, _jpeg_seg(marker, sof_payload)]), 8
+        )
+        assert (w, h) == (123, 77), hex(marker)
+
+    # DHT (0xC4) is NOT dimension-bearing — walk must skip it, then find SOF
+    dht = _jpeg_seg(0xC4, b"\x00" + bytes(16) + b"")
+    w, h, _, _ = _decode_headers(
+        _jpeg_bytes([app0, dht, _jpeg_seg(0xC2, sof_payload)]), 8
+    )
+    assert (w, h) == (123, 77)
+
+    # SOS before any SOF: stop, report missing SOF even though the scan
+    # data contains a byte pattern resembling an SOF marker
+    sos = _jpeg_seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+    scan_data = b"\x12\x34\xff\xc0\x00\x11" + bytes(20)
+    with pytest.raises(ValueError, match="SOF not found"):
+        _decode_headers(_jpeg_bytes([app0, sos, scan_data]), 8)
+
+    # bad segment length (< 2) must error, not loop forever
+    with pytest.raises(ValueError, match="bad segment length"):
+        _decode_headers(b"\xff\xd8\xff\xe0\x00\x01", 8)

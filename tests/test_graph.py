@@ -410,11 +410,16 @@ def test_distributed_fixpoint_reliable_checkpoint(spark, tmp_path):
     """With MergeConfig.checkpoint_dir set, fixpoint rounds materialize to
     durable parquet stage tables (cluster fault tolerance) instead of
     executor-block localCheckpoint, the result is identical, the converged
-    tables land under merge_final/, and the per-run round stage tables are
-    cleaned up afterwards (they previously accumulated across runs)."""
+    tables land under the PER-RUN dir's final/ (so concurrent runs sharing
+    a work_dir can't overwrite each other's finals while they're still
+    being lazily read), and the per-run round stage tables are cleaned up.
+    Older runs' finals are GC'd only by the explicit gc_merge_runs step."""
     import os
 
+    from openie_spark.merge import gc_merge_runs
+
     ckpt = str(tmp_path / "merge_ckpt")
+    keep_alive = []
     for rows in (MERGE_POSITIVE, EDGE_MERGE):
         nodes, edges = _agg(spark, rows)
         dn, de, _ = merge_fixpoint(
@@ -424,16 +429,27 @@ def test_distributed_fixpoint_reliable_checkpoint(spark, tmp_path):
             nodes, edges, MergeConfig(checkpoint_dir=ckpt), local_threshold=0
         )
         assert our_snapshot(cn, ce) == our_snapshot(dn, de)
-        # returned DataFrames stay readable after round-dir cleanup
+        # returned DataFrames stay readable after stage-dir cleanup
         assert cn.count() > 0 and ce.count() > 0
+        keep_alive.append((cn, ce))
 
-    assert sorted(os.listdir(f"{ckpt}/merge_final")) == ["edges", "nodes"]
-    leftover = (
-        os.listdir(f"{ckpt}/merge_rounds")
-        if os.path.isdir(f"{ckpt}/merge_rounds")
-        else []
-    )
-    assert leftover == [], f"stage tables not cleaned: {leftover}"
+    run_dirs = sorted(os.listdir(f"{ckpt}/merge_rounds"))
+    assert len(run_dirs) == 2, run_dirs  # one unique dir per run, both kept
+    for rd in run_dirs:
+        entries = sorted(os.listdir(f"{ckpt}/merge_rounds/{rd}"))
+        assert entries == ["final"], f"stage tables not cleaned: {entries}"
+        assert sorted(os.listdir(f"{ckpt}/merge_rounds/{rd}/final")) == [
+            "edges",
+            "nodes",
+        ]
+    # the FIRST run's finals survived the second run — the race the shared
+    # merge_final/ path reintroduced
+    first_n, first_e = keep_alive[0]
+    assert first_n.count() > 0 and first_e.count() > 0
+
+    removed = gc_merge_runs(spark, ckpt, keep=1)
+    assert removed == 1
+    assert len(os.listdir(f"{ckpt}/merge_rounds")) == 1
 
 
 def _naive_find_nodes_to_keep(node_weights, edge_list, n_keep, buffer_factor=3):
