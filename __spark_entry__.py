@@ -418,7 +418,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     Single-partition input for cross-environment determinism (same trick
     as kg_clustering). Oracle: SELECT from golden expected output."""
     from openie_spark.corpus import clustering_fixture_rows
-    from openie_spark.dataops.similarity import ivf_topk
+    from openie_spark.dataops.similarity import build_ivf_index, ivf_query
 
     rows = clustering_fixture_rows()
     fixture = spark.createDataFrame(
@@ -426,7 +426,10 @@ def q_ann_ivf_topk(spark, sf_dir):
         "vec_id long, embedding array<float>",
     ).coalesce(1)
     probe = rows[0][2]
-    return ivf_topk(fixture, probe, k=20, n_cells=5, n_probe=2, seed=42).select(
+    # build-once / query-many API (r5): the quantizer fits once per data
+    # version; each probe touches only its n_probe cells
+    index = build_ivf_index(fixture, n_cells=5, seed=42, persist=False)
+    return ivf_query(index, probe, k=20, n_probe=2).select(
         "vec_id",
         F.round(F.col("cosine") * 1e4).cast("bigint").alias("cosine_e4"),
     )

@@ -239,6 +239,22 @@ def main() -> None:
         "ann_lsh",
         lambda: lsh_topk(emb, probe, k=20, multiprobe_bits=1).collect(),
     )
+    # IVF split (r5): the quantizer fit is a per-data-version cost
+    # (ann_ivf_build); steady-state probes touch only n_probe cells of the
+    # cached assignment (ann_ivf_query) — the row pair documents the
+    # per-probe collapse vs refitting per call.
+    from openie_spark.dataops.similarity import build_ivf_index, ivf_query
+
+    ivf_index = bench(
+        "ann_ivf_build",
+        lambda: build_ivf_index(emb, n_cells=16, seed=42),
+    )
+    ivf_index.assigned.count()  # materialize the cache outside query timing
+    bench(
+        "ann_ivf_query",
+        lambda: ivf_query(ivf_index, probe, k=20, n_probe=3).collect(),
+        repeat=3,
+    )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     bench(

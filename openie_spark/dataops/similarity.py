@@ -113,6 +113,112 @@ def lsh_topk(
     return brute_force_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
 
 
+class IvfIndex:
+    """A built IVF index: the coarse-quantizer centroids (tiny, driver-held
+    numpy array) plus the cell-assigned vector table. Build ONCE per data
+    version with :func:`build_ivf_index`; answer many probes with
+    :func:`ivf_query` — each probe touches only its ``n_probe`` cells and
+    never re-fits the quantizer (the r4 design nit: a per-probe KMeans
+    refit made the "index" cost O(fit) per query and silently moved cell
+    boundaries between calls)."""
+
+    __slots__ = ("centroids", "assigned", "id_col", "vec_col")
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        assigned: DataFrame,
+        id_col: str,
+        vec_col: str,
+    ):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.centroids.shape[0])
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def build_ivf_index(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    persist: bool = True,
+    storage_path: Optional[str] = None,
+) -> IvfIndex:
+    """Fit the KMeans coarse quantizer ONCE and materialize the cell
+    assignment. ``persist=True`` caches the assigned table (every query
+    scans it); ``storage_path`` additionally writes it as parquet
+    PARTITIONED BY cell — the durable cluster form, where a query's
+    ``cell IN (...)`` filter becomes partition pruning and each probe
+    reads only its n_probe directories (use :func:`load_ivf_index` to
+    reopen without re-fitting)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = emb_df.withColumn("features", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(vdf)
+    assigned = model.transform(vdf).drop("features")
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    if storage_path is not None:
+        spark = emb_df.sparkSession
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{storage_path}/assigned"
+        )
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "cell int, centroid array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{storage_path}/centroids")
+        assigned = spark.read.parquet(f"{storage_path}/assigned")
+    elif persist:
+        assigned = assigned.cache()
+    return IvfIndex(centers, assigned, id_col, vec_col)
+
+
+def load_ivf_index(
+    spark,
+    storage_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfIndex:
+    """Reopen an index written by build_ivf_index(storage_path=...) without
+    re-fitting: centroids collect to the driver (n_cells rows), the
+    assigned table stays a lazy partitioned-parquet scan."""
+    rows = spark.read.parquet(f"{storage_path}/centroids").collect()
+    centers = np.array(
+        [r["centroid"] for r in sorted(rows, key=lambda r: r["cell"])]
+    )
+    assigned = spark.read.parquet(f"{storage_path}/assigned")
+    return IvfIndex(centers, assigned, id_col, vec_col)
+
+
+def ivf_query(
+    index: IvfIndex,
+    probe: Sequence[float],
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Answer one probe against a built index: rank cells by squared
+    euclidean distance to the probe driver-side (n_cells is tiny), scan
+    only the n_probe nearest cells, exact cosine top-k within them."""
+    p = np.asarray(probe, dtype=np.float64)
+    d = ((index.centroids - p) ** 2).sum(axis=1)
+    cells = [int(c) for c in np.argsort(d)[:n_probe]]
+    cand = index.assigned.filter(F.col("cell").isin(cells))
+    return brute_force_topk(
+        cand, probe, k=k, id_col=index.id_col, vec_col=index.vec_col
+    )
+
+
 def ivf_topk(
     emb_df: DataFrame,
     probe: Sequence[float],
@@ -123,19 +229,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF: KMeans-cell inverted index, probe the n_probe nearest cells."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    vdf = emb_df.withColumn("features", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(vdf)
-    assigned = model.transform(vdf).drop("features")
-
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
-    p = np.asarray(probe, dtype=np.float64)
-    d = ((centers - p) ** 2).sum(axis=1)
-    cells = [int(c) for c in np.argsort(d)[:n_probe]]
-
-    cand = assigned.filter(F.col("cell").isin(cells))
-    return brute_force_topk(cand, probe, k=k, id_col=id_col, vec_col=vec_col)
+    """One-shot convenience: build + single query. For repeated probes use
+    build_ivf_index + ivf_query — this wrapper re-fits the quantizer per
+    call, which is only acceptable for a single ad-hoc probe."""
+    index = build_ivf_index(
+        emb_df,
+        n_cells=n_cells,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        persist=False,
+    )
+    return ivf_query(index, probe, k=k, n_probe=n_probe)

@@ -179,6 +179,57 @@ def test_brute_force_vs_lsh_and_ivf(spark, emb):
     assert ivf and ivf[0] == 0
 
 
+def test_ivf_build_once_query_many(spark, emb, tmp_path):
+    """The r5 build/query split: one build_ivf_index serves many probes
+    with identical results to the one-shot ivf_topk (same n_cells/seed),
+    the quantizer is NOT refit per probe (centroids are fixed on the index
+    object), and the durable partitioned-parquet form round-trips through
+    load_ivf_index with a cell-pruned scan."""
+    from openie_spark.dataops.similarity import (
+        build_ivf_index,
+        ivf_query,
+        ivf_topk,
+        load_ivf_index,
+    )
+
+    index = build_ivf_index(emb, n_cells=8, seed=42)
+    probes = [
+        emb.filter(F.col("vec_id") == i).first()["embedding"] for i in (0, 7, 23)
+    ]
+    for probe in probes:
+        via_index = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in ivf_query(index, probe, k=10, n_probe=4).collect()
+        ]
+        oneshot = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in ivf_topk(emb, probe, k=10, n_cells=8, n_probe=4, seed=42).collect()
+        ]
+        assert via_index == oneshot
+    centroids_before = index.centroids.copy()
+
+    # durable form: partitioned by cell, reload without refit
+    path = str(tmp_path / "ivf_index")
+    stored = build_ivf_index(emb, n_cells=8, seed=42, storage_path=path)
+    loaded = load_ivf_index(spark, path)
+    assert np.allclose(loaded.centroids, stored.centroids)
+    for probe in probes:
+        a = [(r["vec_id"], round(r["cosine"], 6))
+             for r in ivf_query(stored, probe, k=10, n_probe=4).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 6))
+             for r in ivf_query(loaded, probe, k=10, n_probe=4).collect()]
+        assert a == b
+    # the cell IN (...) probe filter must prune partitions of the stored
+    # layout, not scan all cells
+    plan = ivf_query(loaded, probes[0], k=10, n_probe=2)._jdf.queryExecution(
+    ).executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2 and pf[1].lstrip().startswith("cell"), plan[:2000]
+    # building again must not have mutated the first index's centroids
+    assert np.array_equal(centroids_before, index.centroids)
+    index.unpersist()
+
+
 def test_lsh_recall_on_planted_neighbors(spark):
     from openie_spark.dataops.similarity import brute_force_topk, lsh_topk
 
