@@ -106,6 +106,14 @@ def _warm_heavy_shapes(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # SPARK_GRAFT_SCALE_X=10 runs the IDENTICAL protocol at 10× rows with
+    # no external data: the deterministic generators (pages_df,
+    # dedup_docs_df) evaluate at 10·n, and the testdata-backed tables are
+    # self-unioned with id offsets (same distributions, 10× rows) — the
+    # sf1-equivalent run that exposes shuffle growth the sf0.1 fixed
+    # stage latency hides. Default 1 leaves round-over-round runs
+    # byte-identical to prior rounds.
+    scale_x = int(os.environ.get("SPARK_GRAFT_SCALE_X", "1"))
 
     from openie_spark.session import build_session
 
@@ -144,11 +152,23 @@ def main() -> None:
         times[name] = round(best, 3)
         return result
 
+    def offset_union(df, id_col: str):
+        """scale_x× rows via self-union with id offsets (no external data)."""
+        n = df.count()
+        out = df
+        for i in range(1, scale_x):
+            out = out.unionByName(df.withColumn(id_col, F.col(id_col) + i * n))
+        return out
+
     # ---- KG pipeline stages -------------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
-    n_pages = max(200, n_docs)
+    n_pages = max(200, n_docs) * scale_x
     meta["n_pages"] = n_pages
+    if scale_x > 1:
+        meta["scale_x"] = scale_x
+        docs = offset_union(docs, "doc_id").cache()
+        docs.count()
 
     pages = pages_df(spark, n_pages, seed=42, n_sents=6).cache()
     n_rows = pages.count()  # materialize generation outside stage timings
@@ -231,7 +251,10 @@ def main() -> None:
     bench("lang_id", lambda: force(lang_id(docs).select("doc_id", "lang_pred")), repeat=2)
     bench("quality", lambda: force(quality_score(docs).select("doc_id", "quality")), repeat=2)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if scale_x > 1:
+        emb = offset_union(emb, "vec_id")
+    emb = emb.cache()
     emb.count()
     probe = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     bench("ann_brute", lambda: brute_force_topk(emb, probe, k=20).collect())
@@ -257,6 +280,12 @@ def main() -> None:
     )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if scale_x > 1:
+        # plain replication (keys constant, 10× rows): measures the agg's
+        # map-side combine over growing input — output cardinality fixed
+        base_li = li
+        for _ in range(1, scale_x):
+            li = li.unionByName(base_li)
     bench(
         "edge_aggregate",
         lambda: force(

@@ -67,6 +67,42 @@ class PipelineConfig:
     # set False to keep per-stage lineage for debugging.
     fuse_extract: bool = True
 
+    @classmethod
+    def for_scale(cls, work_dir: Optional[str] = None, **overrides) -> "PipelineConfig":
+        """The scale profile: defaults a large-corpus run (10⁵+ pages,
+        real cluster) wants, as opposed to the parity defaults the
+        reference-equivalence tests pin.
+
+        - ``max_descriptions=256``: uncapped ``collect_set`` description
+          state is the measured OOM/anti-scaling risk (graph.py:50 —
+          node agg 19s@2cores → 38s@8cores on 1M triples before the
+          cap; the 384k-page capstone ran with 256). The cap bounds
+          per-key aggregation state AND the merge stage's per-round
+          attribute spill. Semantics note: the shared-sentence merge
+          exclusion compares description sets, so a cap can in principle
+          let two nodes merge that the uncapped run would exclude —
+          which is why the parity default stays None and strict_parity
+          refuses a cap.
+        - ``merge_local_threshold=0``: always the distributed DataFrame
+          fixpoint — the driver-local fast path's collect is wrong on a
+          graph that doesn't comfortably fit the driver.
+        - ``work_dir``: pass one; it turns on durable checkpoint-resume
+          at every stage boundary and durable merge-round checkpoints.
+
+        Any field can still be overridden via keyword arguments.
+        """
+        opts = dict(max_descriptions=256, merge_local_threshold=0, work_dir=work_dir)
+        opts.update(overrides)
+        return cls(**opts)
+
+    def __post_init__(self) -> None:
+        if self.strict_parity and self.max_descriptions is not None:
+            raise ValueError(
+                "strict_parity pins reference-identical merge semantics; "
+                "max_descriptions caps the description sets that drive the "
+                "shared-sentence merge exclusion — unset one of them"
+            )
+
     def fingerprint(self) -> str:
         import hashlib
 

@@ -9,7 +9,7 @@ as a driver-side export utility for human-scale graphs only.
 from __future__ import annotations
 
 import xml.etree.ElementTree as ET
-from typing import Iterable, Iterator
+from typing import Iterable, Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -108,6 +108,46 @@ def write_graph_tables(
         .partitionBy("bucket")
         .parquet(f"{out_dir}/edges")
     )
+
+
+def _bucket_of(spark, key: str, buckets: int) -> int:
+    """The bucket write_graph_tables assigned to ``key`` — computed with
+    the SAME engine expression (xxhash64 is Spark-version-stable, but
+    evaluating it in the JVM rather than reimplementing it driver-side
+    keeps this correct by construction)."""
+    return (
+        spark.range(1)
+        .select(
+            F.pmod(F.xxhash64(F.lit(key)), F.lit(buckets)).cast("int").alias("b")
+        )
+        .first()["b"]
+    )
+
+
+def read_graph_nodes(
+    spark, out_dir: str, lemma_key: Optional[str] = None, buckets: int = 16
+) -> DataFrame:
+    """Open the nodes table written by write_graph_tables. With a
+    ``lemma_key``, derive the bucket predicate so the scan PRUNES to one
+    partition directory (1/buckets of the files) before the row filter —
+    the point of the bucketed layout. ``buckets`` must match the write."""
+    df = spark.read.parquet(f"{out_dir}/nodes")
+    if lemma_key is not None:
+        b = _bucket_of(spark, lemma_key, buckets)
+        df = df.filter((F.col("bucket") == b) & (F.col("lemma_key") == lemma_key))
+    return df
+
+
+def read_graph_edges(
+    spark, out_dir: str, src: Optional[str] = None, buckets: int = 16
+) -> DataFrame:
+    """Open the edges table written by write_graph_tables; with ``src``,
+    prune to its bucket partition (see read_graph_nodes)."""
+    df = spark.read.parquet(f"{out_dir}/edges")
+    if src is not None:
+        b = _bucket_of(spark, src, buckets)
+        df = df.filter((F.col("bucket") == b) & (F.col("src") == src))
+    return df
 
 
 GEXF_NS = "http://www.gexf.net/1.1draft"

@@ -102,3 +102,25 @@ def test_fingerprint_is_process_stable():
         for _ in range(2)
     }
     assert len(outs) == 1 and "" not in outs
+
+
+def test_scale_profile_and_parity_guard():
+    """PipelineConfig.for_scale() is the documented large-corpus profile
+    (VERDICT r4 #5): description sets capped (the measured OOM/
+    anti-scaling risk), distributed merge fixpoint forced, work_dir wired
+    through — while the bare PipelineConfig() parity defaults stay
+    untouched, and strict_parity refuses a description cap (the cap can
+    change shared-sentence merge exclusions)."""
+    cfg = PipelineConfig.for_scale("/tmp/scale_wd", n_salts=16)
+    assert cfg.max_descriptions == 256
+    assert cfg.merge_local_threshold == 0
+    assert cfg.work_dir == "/tmp/scale_wd"
+    assert cfg.n_salts == 16  # overrides pass through
+    assert "maxd=256" in cfg.fingerprint()
+
+    assert PipelineConfig().max_descriptions is None  # parity default
+
+    with pytest.raises(ValueError, match="strict_parity"):
+        PipelineConfig(strict_parity=True, max_descriptions=256)
+    with pytest.raises(ValueError, match="strict_parity"):
+        PipelineConfig.for_scale(strict_parity=True)

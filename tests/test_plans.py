@@ -107,3 +107,48 @@ def test_simhash_plan_is_narrow_and_python_free(spark):
     plan = _plan(simhash_df(df))
     assert "Exchange" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bucketed_graph_tables_prune_on_key_read(spark, tmp_path):
+    """write_graph_tables' Iceberg-ready bucket layout must actually prune:
+    a lemma_key point read through read_graph_nodes carries a bucket
+    PartitionFilter and scans exactly one of the `buckets` partition
+    directories — the layout's pruning claim tested, not asserted
+    (VERDICT r4 #8). Same for an edge src read."""
+    from openie_spark.sinks import read_graph_edges, read_graph_nodes, write_graph_tables
+
+    nodes = spark.createDataFrame(
+        [(f"lemma{i}", 1 + i, f"L{i}") for i in range(40)],
+        "lemma_key string, weight long, label string",
+    )
+    edges = spark.createDataFrame(
+        [(f"lemma{i}", f"lemma{(i + 1) % 40}", 1) for i in range(40)],
+        "src string, dst string, weight long",
+    )
+    out = str(tmp_path / "graph_tables")
+    write_graph_tables(nodes, edges, out, buckets=8)
+
+    probe = read_graph_nodes(spark, out, lemma_key="lemma7", buckets=8)
+    rows = probe.collect()
+    assert [r["lemma_key"] for r in rows] == ["lemma7"]
+
+    # the bucket equality must appear in PartitionFilters (directory-level
+    # pruning), not merely as a post-scan row filter
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan[:1500]
+    pf_body = pf[1].split("]")[0]
+    assert "bucket" in pf_body and "=" in pf_body, pf_body
+    # and only the one matching bucket directory contributes files
+    fnames = {
+        r[0]
+        for r in probe.select(F.input_file_name()).distinct().collect()
+    }
+    assert len({f.split("bucket=")[1].split("/")[0] for f in fnames}) == 1
+
+    eprobe = read_graph_edges(spark, out, src="lemma3", buckets=8)
+    erows = eprobe.collect()
+    assert {r["src"] for r in erows} == {"lemma3"}
+    eplan = eprobe._jdf.queryExecution().executedPlan().toString()
+    epf = eplan.split("PartitionFilters: [", 1)
+    assert len(epf) == 2 and "bucket" in epf[1].split("]")[0], eplan[:1500]
