@@ -240,6 +240,173 @@ def aggregate_edges(
     return edges
 
 
+# ---- incremental (mergeable) aggregation state -------------------------------
+#
+# The streaming graph refresh needs per-key state whose combine is
+# ASSOCIATIVE, so that any micro-batch split of the input reaches the exact
+# same result as one batch aggregation:
+#   weight        → sum
+#   label         → carried with min(occ_key); combine keeps the pair with
+#                   the smaller occ_key (min_by is a semilattice over the
+#                   total occurrence order)
+#   descriptions  → set union; with a cap, "the cap smallest" merges exactly
+#                   (same argument as _merge_capped_sets)
+#   clusters      → set union
+#   vector        → stored as element-wise SUMS (vsum); mean = vsum/weight
+#                   only at finalize (means don't combine, sums do)
+
+
+def node_state_delta(
+    triples_df: DataFrame,
+    dim: Optional[int] = None,
+    max_descriptions: Optional[int] = None,
+) -> DataFrame:
+    """One micro-batch's node aggregation STATE (not finalized nodes)."""
+    occ = node_occurrences(triples_df).withColumn("occ_key", _occurrence_key())
+    if dim is None:
+        dim = _vector_dim(occ, "vector")
+    vcols = [F.sum(F.col("vector")[i].cast("double")).alias(f"_v{i}") for i in range(dim)]
+    st = occ.groupBy("lemma_key").agg(
+        F.count(F.lit(1)).alias("weight"),
+        F.min_by("label", "occ_key").alias("label"),
+        F.min("occ_key").alias("occ_key"),
+        _capped_set("sent_text", max_descriptions).alias("descriptions"),
+        F.collect_set("cluster").alias("clusters"),
+        *vcols,
+    )
+    return st.withColumn(
+        "vsum", F.array(*[F.col(f"_v{i}") for i in range(dim)])
+    ).drop(*[f"_v{i}" for i in range(dim)])
+
+
+def edge_state_delta(
+    triples_df: DataFrame, max_descriptions: Optional[int] = None
+) -> DataFrame:
+    """One micro-batch's edge aggregation STATE."""
+    base = triples_df.select(
+        F.col("left_arg_lemmas").alias("src"),
+        F.col("right_arg_lemmas").alias("dst"),
+        edge_key_col().alias("edge_key"),
+        F.col("relation").alias("label"),
+        F.col("relation_lemmas").alias("lemmas"),
+        F.col("right_deprel").alias("deprel"),
+        "sent_text",
+        "cluster",
+        "url",
+        "sent_id",
+    ).withColumn("occ_key", _occurrence_key())
+    return base.groupBy("src", "dst", "edge_key").agg(
+        F.count(F.lit(1)).alias("weight"),
+        F.min_by("label", "occ_key").alias("label"),
+        F.min_by("lemmas", "occ_key").alias("lemmas"),
+        F.min_by("deprel", "occ_key").alias("deprel"),
+        F.min("occ_key").alias("occ_key"),
+        _capped_set("sent_text", max_descriptions).alias("descriptions"),
+        F.collect_set("cluster").alias("clusters"),
+    )
+
+
+def _take_min_occ(col: str) -> F.Column:
+    """Of the old/delta sides of the state join, the value carried with the
+    smaller occ_key (NULL side loses)."""
+    o_occ, d_occ = F.col("o.occ_key"), F.col("d.occ_key")
+    keep_old = d_occ.isNull() | (o_occ.isNotNull() & (o_occ <= d_occ))
+    return F.when(keep_old, F.col(f"o.{col}")).otherwise(F.col(f"d.{col}"))
+
+
+def _merged_set(col: str, cap: Optional[int]) -> F.Column:
+    merged = F.array_distinct(
+        F.concat(
+            F.coalesce(F.col(f"o.{col}"), F.array()),
+            F.coalesce(F.col(f"d.{col}"), F.array()),
+        )
+    )
+    if cap is None:
+        return merged
+    return F.slice(F.array_sort(merged), 1, cap)
+
+
+def merge_node_state(
+    old: DataFrame, delta: DataFrame, max_descriptions: Optional[int] = None
+) -> DataFrame:
+    """Combine two node-state tables (full-outer join on lemma_key)."""
+    j = old.alias("o").join(delta.alias("d"), "lemma_key", "full")
+    zero = F.transform(
+        F.coalesce(F.col("o.vsum"), F.col("d.vsum")), lambda _: F.lit(0.0)
+    )
+    return j.select(
+        "lemma_key",
+        (
+            F.coalesce(F.col("o.weight"), F.lit(0))
+            + F.coalesce(F.col("d.weight"), F.lit(0))
+        ).alias("weight"),
+        _take_min_occ("label").alias("label"),
+        F.least(F.col("o.occ_key"), F.col("d.occ_key")).alias("occ_key"),
+        _merged_set("descriptions", max_descriptions).alias("descriptions"),
+        _merged_set("clusters", None).alias("clusters"),
+        F.zip_with(
+            F.coalesce(F.col("o.vsum"), zero),
+            F.coalesce(F.col("d.vsum"), zero),
+            lambda a, b: a + b,
+        ).alias("vsum"),
+    )
+
+
+def merge_edge_state(
+    old: DataFrame, delta: DataFrame, max_descriptions: Optional[int] = None
+) -> DataFrame:
+    """Combine two edge-state tables (full-outer join on the edge key)."""
+    j = old.alias("o").join(delta.alias("d"), ["src", "dst", "edge_key"], "full")
+    return j.select(
+        "src",
+        "dst",
+        "edge_key",
+        (
+            F.coalesce(F.col("o.weight"), F.lit(0))
+            + F.coalesce(F.col("d.weight"), F.lit(0))
+        ).alias("weight"),
+        _take_min_occ("label").alias("label"),
+        _take_min_occ("lemmas").alias("lemmas"),
+        _take_min_occ("deprel").alias("deprel"),
+        F.least(F.col("o.occ_key"), F.col("d.occ_key")).alias("occ_key"),
+        _merged_set("descriptions", max_descriptions).alias("descriptions"),
+        _merged_set("clusters", None).alias("clusters"),
+    )
+
+
+def finalize_node_state(
+    state: DataFrame, max_descriptions: Optional[int] = None
+) -> DataFrame:
+    """State → the aggregate_nodes output shape (vector = vsum/weight)."""
+    out = state.withColumn(
+        "vector",
+        F.when(
+            F.size("vsum") > 0,
+            F.transform(F.col("vsum"), lambda x: (x / F.col("weight")).cast("float")),
+        ).otherwise(F.lit(None).cast("array<float>")),
+    ).drop("vsum", "occ_key")
+    if max_descriptions is not None:
+        out = out.withColumn(
+            "descriptions", F.slice(F.array_sort("descriptions"), 1, max_descriptions)
+        )
+    return out.select("lemma_key", "weight", "label", "descriptions", "clusters", "vector")
+
+
+def finalize_edge_state(
+    state: DataFrame, max_descriptions: Optional[int] = None
+) -> DataFrame:
+    """State → the aggregate_edges output shape."""
+    out = state.drop("occ_key")
+    if max_descriptions is not None:
+        out = out.withColumn(
+            "descriptions", F.slice(F.array_sort("descriptions"), 1, max_descriptions)
+        )
+    return out.select(
+        "src", "dst", "edge_key", "weight", "label", "lemmas", "deprel",
+        "descriptions", "clusters",
+    )
+
+
 def with_degrees(nodes_df: DataFrame, edges_df: DataFrame) -> DataFrame:
     """Attach degree_in / degree_out / frequency aggregates to nodes.
 

@@ -7,11 +7,14 @@ global stages (clustering, graph aggregation, merge fixpoint) stay batch
 and are driven per micro-batch or on a schedule over the accumulated
 triples stage table.
 
-Two modes:
-- ``stream_triples``: fully streaming clean→parse→extract; append-mode sink.
-- ``stream_pipeline_foreachBatch``: per micro-batch, extract triples and
-  append them to the triples stage table (the checkpoint boundary); graph
-  refresh happens out-of-band (e.g. the batch pipeline on the stage table).
+Modes:
+- ``stream_triples`` + ``start_triples_sink``: fully streaming
+  clean→parse→extract appended to the triples stage table (the
+  checkpoint boundary).
+- ``start_graph_refresh``: per micro-batch, merge the batch's node/edge
+  aggregation deltas into persistent state tables, so the downstream
+  graph follows the stream too; ``read_graph_state`` opens the latest
+  refreshed graph in the batch output shape.
 
 Watermarking: pages carry ``warc_ts``; a watermark bounds state if a
 windowed aggregate (e.g. triples/minute monitoring) is attached. The
@@ -115,6 +118,130 @@ def triples_rate_monitor(
         .groupBy(F.window("warc_ts", window))
         .agg(F.count(F.lit(1)).alias("n_triples"))
     )
+
+
+def start_graph_refresh(
+    triples_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    dim: int = 64,
+    max_descriptions: Optional[int] = None,
+    trigger_seconds: Optional[int] = None,
+):
+    """Per-micro-batch incremental graph refresh: aggregate each batch of
+    triples into node/edge DELTA state and merge it into the persistent
+    state tables by key — so the downstream graph tables follow the stream
+    instead of stopping at the triples stage.
+
+    The state combine is associative (sums, min-occurrence carries, set
+    unions; vectors kept as element-wise sums — see graph.py node_state_
+    delta), so over any closed input the refreshed graph EQUALS the batch
+    aggregate_nodes/aggregate_edges output regardless of how the stream
+    chopped it into micro-batches (pinned by test_streaming_sinks).
+
+    Storage layout: ``{state_dir}/v{epoch:08d}/{nodes,edges}`` — one
+    immutable version per epoch, named by the foreachBatch epoch_id so a
+    RETRIED epoch overwrites its own directory (idempotent) instead of
+    corrupting the previous state, which the merge is still lazily
+    reading. Readers open the highest complete version
+    (:func:`read_graph_state`); old versions are retained for exactly-once
+    retry safety — GC them once the streaming checkpoint has advanced.
+
+    Triples without a ``cluster`` column (clustering is a global batch
+    stage) get cluster=0, matching the batch pipeline's skip_clustering
+    labeling.
+    """
+    from .graph import (
+        edge_state_delta,
+        merge_edge_state,
+        merge_node_state,
+        node_state_delta,
+    )
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        if "cluster" not in batch_df.columns:
+            batch_df = batch_df.withColumn("cluster", F.lit(0))
+        spark = batch_df.sparkSession
+        delta_n = node_state_delta(
+            batch_df, dim=dim, max_descriptions=max_descriptions
+        )
+        delta_e = edge_state_delta(batch_df, max_descriptions=max_descriptions)
+        cur = _latest_state_version(spark, state_dir)
+        if cur is not None:
+            old_n = spark.read.parquet(f"{state_dir}/v{cur:08d}/nodes")
+            old_e = spark.read.parquet(f"{state_dir}/v{cur:08d}/edges")
+            new_n = merge_node_state(old_n, delta_n, max_descriptions)
+            new_e = merge_edge_state(old_e, delta_e, max_descriptions)
+        else:
+            new_n, new_e = delta_n, delta_e
+        vdir = f"{state_dir}/v{int(epoch_id):08d}"
+        new_n.write.mode("overwrite").parquet(f"{vdir}/nodes")
+        new_e.write.mode("overwrite").parquet(f"{vdir}/edges")
+
+    writer = (
+        triples_stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _latest_state_version(spark: SparkSession, state_dir: str) -> Optional[int]:
+    """Highest COMPLETE (``_SUCCESS``-marked, both tables) version under
+    state_dir, or None. Hadoop FS API — works on HDFS/S3 paths too."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return None
+    best = None
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        ok = all(
+            fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{state_dir}/{name}/{t}/_SUCCESS"
+                )
+            )
+            for t in ("nodes", "edges")
+        )
+        if ok and (best is None or v > best):
+            best = v
+    return best
+
+
+def read_graph_state(
+    spark: SparkSession,
+    state_dir: str,
+    max_descriptions: Optional[int] = None,
+):
+    """Open the latest complete refreshed graph as FINALIZED nodes/edges
+    (the aggregate_nodes/aggregate_edges output shape). Returns
+    (nodes, edges) or (None, None) when no version is complete yet."""
+    from .graph import finalize_edge_state, finalize_node_state
+
+    cur = _latest_state_version(spark, state_dir)
+    if cur is None:
+        return None, None
+    vdir = f"{state_dir}/v{cur:08d}"
+    nodes = finalize_node_state(
+        spark.read.parquet(f"{vdir}/nodes"), max_descriptions
+    )
+    edges = finalize_edge_state(
+        spark.read.parquet(f"{vdir}/edges"), max_descriptions
+    )
+    return nodes, edges
 
 
 def stream_dedup_docs(

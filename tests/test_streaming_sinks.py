@@ -194,3 +194,92 @@ def test_stream_dedup_matches_batch_hash_set(spark, tmp_path):
     got_hashes = [r["content_hash"] for r in got.collect()]
     assert sorted(got_hashes) == sorted(set(got_hashes)), "duplicate survived"
     assert set(got_hashes) == want_hashes
+
+
+def _graph_snapshot(nodes, edges):
+    n = {
+        r["lemma_key"]: (
+            r["weight"],
+            r["label"],
+            tuple(sorted(r["descriptions"])),
+            tuple(sorted(r["clusters"])),
+            tuple(round(float(x), 5) for x in (r["vector"] or [])),
+        )
+        for r in nodes.collect()
+    }
+    e = {
+        (r["src"], r["dst"], r["edge_key"]): (
+            r["weight"],
+            r["label"],
+            r["lemmas"],
+            r["deprel"],
+            tuple(sorted(r["descriptions"])),
+            tuple(sorted(r["clusters"])),
+        )
+        for r in edges.collect()
+    }
+    return n, e
+
+
+def test_incremental_graph_refresh_equals_batch(spark, tmp_path):
+    """start_graph_refresh merges per-micro-batch node/edge deltas into the
+    persistent state tables; over a closed input chopped into several
+    micro-batches (maxFilesPerTrigger=1 over multiple file drops), the
+    refreshed graph read back through read_graph_state must EQUAL the
+    batch aggregate_nodes/aggregate_edges output — the associative-state
+    contract (VERDICT r4 #7)."""
+    from openie_spark.graph import aggregate_edges, aggregate_nodes
+    from openie_spark.streaming import (
+        read_pages_stream,
+        read_graph_state,
+        start_graph_refresh,
+        stream_triples,
+    )
+
+    src = tmp_path / "pages_src"
+    # several separate file drops -> several micro-batches
+    for seed, part in ((5, "a"), (6, "b"), (7, "c")):
+        pages_df(spark, 8, seed=seed, n_sents=4, partitions=1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = stream_triples(
+        read_pages_stream(spark, str(src), max_files_per_trigger=1),
+        lang="ru",
+        with_vectors=True,
+    )
+    q = start_graph_refresh(
+        stream,
+        str(tmp_path / "graph_state"),
+        str(tmp_path / "refresh_ckpt"),
+        dim=64,
+    )
+    q.awaitTermination(180)
+
+    got_nodes, got_edges = read_graph_state(spark, str(tmp_path / "graph_state"))
+    assert got_nodes is not None
+    # the input must actually have been chopped into multiple micro-batches
+    # (one state version per epoch), or the merge path went unexercised
+    import os
+
+    versions = [
+        d for d in os.listdir(tmp_path / "graph_state") if d.startswith("v")
+    ]
+    assert len(versions) >= 2, versions
+
+    # batch reference over the SAME closed input
+    all_pages = spark.read.parquet(str(src))
+    batch = ok_triples(
+        extract_triples_df(
+            parse_pages(clean_pages(all_pages, lang="ru")),
+            frozenset(STOPWORDS_FIXTURE),
+            with_vectors=True,
+        )
+    ).withColumn("cluster", F.lit(0))
+    want_nodes = aggregate_nodes(batch, dim=64)
+    want_edges = aggregate_edges(batch)
+
+    got = _graph_snapshot(got_nodes, got_edges)
+    want = _graph_snapshot(want_nodes, want_edges)
+    assert got[0] == want[0]
+    assert got[1] == want[1]
