@@ -96,9 +96,12 @@ def node_occurrences(triples_df: DataFrame) -> DataFrame:
 
 
 def _vector_dim(df: DataFrame, col: str) -> int:
-    """Vector width from the schema-carried metadata or a one-row peek.
-    Element-wise sums need a static width; arrays are fixed-width by
-    construction (embedding dim)."""
+    """Vector width via a ONE-ROW PEEK — this runs a Spark job (a
+    ``.first()`` over the input's lineage). The pipeline always passes
+    ``cfg.dim`` so the default path never gets here; direct callers of
+    aggregate_nodes/node_state_delta should pass ``dim`` explicitly to
+    avoid paying an extra job per call. Element-wise sums need a static
+    width; arrays are fixed-width by construction (embedding dim)."""
     row = df.select(col).filter(F.col(col).isNotNull()).first()
     return len(row[0]) if row is not None else 0
 
