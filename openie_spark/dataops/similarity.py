@@ -219,6 +219,55 @@ def ivf_query(
     )
 
 
+def ivf_query_batch(
+    index: IvfIndex,
+    probes,  # list of (probe_id, vector) or DataFrame(probe_id, vector)
+    k: int = 10,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Answer MANY probes in ONE Spark job instead of one job per probe:
+    rank cells per probe driver-side against the tiny centroid matrix,
+    build a (cell, probe_id, probe_vec) table, and join it to the
+    assigned vectors on ``cell`` — each probe's scan still touches only
+    its n_probe cells (the join key IS the cell), and a per-probe window
+    keeps the top-k. Per-probe top-k ties break on id, matching
+    ivf_query. Probe count is assumed driver-small (≤ ~10⁵); the
+    candidate volume is n_probes × n_probe cells, sharded by the cell
+    join — no cartesian anywhere."""
+    from pyspark.sql import Window
+
+    spark = index.assigned.sparkSession
+    if isinstance(probes, DataFrame):
+        probes = [(r[0], list(r[1])) for r in probes.collect()]
+    C = index.centroids
+    rows = []
+    for pid, vec in probes:
+        p = np.asarray(vec, dtype=np.float64)
+        d = ((C - p) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:n_probe]:
+            rows.append((int(c), pid, [float(x) for x in vec]))
+    probe_df = spark.createDataFrame(
+        rows, "cell int, probe_id long, probe_vec array<double>"
+    )
+    cand = index.assigned.join(F.broadcast(probe_df), "cell")
+    sim = cand.select(
+        "probe_id",
+        F.col(index.id_col),
+        (
+            F.lit(1.0)
+            - cosine_distance_col(F.col(index.vec_col), F.col("probe_vec"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cosine"), F.col(index.id_col)
+    )
+    return (
+        sim.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def ivf_topk(
     emb_df: DataFrame,
     probe: Sequence[float],

@@ -221,6 +221,45 @@ def _latest_state_version(spark: SparkSession, state_dir: str) -> Optional[int]:
     return best
 
 
+def gc_graph_state(
+    spark: SparkSession, state_dir: str, keep: int = 2
+) -> int:
+    """Drop all but the ``keep`` newest COMPLETE state versions (plus any
+    incomplete ones newer than the newest complete, which may be a write
+    in flight). Old versions exist only for retry safety — once the
+    streaming checkpoint has advanced past an epoch, its predecessors are
+    dead weight. Returns the number of versions removed."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    complete = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        ok = all(
+            fs.exists(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/{name}/{t}/_SUCCESS")
+            )
+            for t in ("nodes", "edges")
+        )
+        if ok:
+            complete.append(v)
+    complete.sort()
+    removed = 0
+    for v in complete[: max(0, len(complete) - max(keep, 1))]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v:08d}"), True)
+        removed += 1
+    return removed
+
+
 def read_graph_state(
     spark: SparkSession,
     state_dir: str,

@@ -470,3 +470,34 @@ def test_jpeg_marker_walk_edge_cases():
     # bad segment length (< 2) must error, not loop forever
     with pytest.raises(ValueError, match="bad segment length"):
         _decode_headers(b"\xff\xd8\xff\xe0\x00\x01", 8)
+
+
+def test_ivf_query_batch_matches_per_probe(spark, emb):
+    """ivf_query_batch answers many probes in one job via a broadcast
+    (cell, probe) join; per-probe results must equal individual ivf_query
+    calls (same cells probed, same tie-breaks)."""
+    from openie_spark.dataops.similarity import (
+        build_ivf_index,
+        ivf_query,
+        ivf_query_batch,
+    )
+
+    index = build_ivf_index(emb, n_cells=8, seed=42)
+    probe_ids = [0, 7, 23, 41]
+    probes = [
+        (i, emb.filter(F.col("vec_id") == i).first()["embedding"])
+        for i in probe_ids
+    ]
+    batch = ivf_query_batch(index, probes, k=10, n_probe=4)
+    by_probe = {}
+    for r in batch.collect():
+        by_probe.setdefault(r["probe_id"], []).append(
+            (r["vec_id"], round(r["cosine"], 6))
+        )
+    for pid, vec in probes:
+        want = [
+            (r["vec_id"], round(r["cosine"], 6))
+            for r in ivf_query(index, vec, k=10, n_probe=4).collect()
+        ]
+        assert by_probe[pid] == want, pid
+    index.unpersist()

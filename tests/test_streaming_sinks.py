@@ -283,3 +283,11 @@ def test_incremental_graph_refresh_equals_batch(spark, tmp_path):
     want = _graph_snapshot(want_nodes, want_edges)
     assert got[0] == want[0]
     assert got[1] == want[1]
+
+    # explicit GC keeps the newest versions and the latest state readable
+    from openie_spark.streaming import gc_graph_state
+
+    removed = gc_graph_state(spark, str(tmp_path / "graph_state"), keep=1)
+    assert removed == len(versions) - 1
+    n2, e2 = read_graph_state(spark, str(tmp_path / "graph_state"))
+    assert _graph_snapshot(n2, e2) == want
