@@ -118,14 +118,27 @@ def main() -> None:
           f"({n_simple} simple + {n_chain} chain groups)", file=sys.stderr)
 
     cfg = MergeConfig(dim=8, checkpoint_dir=ckpt_dir)
+    # optional CPU accounting over the measured span: process-TREE jiffies
+    # (JVM + Python workers; immune to unrelated VM activity) — lets the
+    # N-vs-4N harness separate engine parallel overhead (extra jiffies per
+    # merge at higher cores) from host scheduling/latency (same jiffies,
+    # longer wall)
+    jiffies = None
+    if "--jiffies" in sys.argv:
+        from bench_scaling import _tree_jiffies
+
+        j0 = _tree_jiffies()
     t0 = time.monotonic()
     m_nodes, m_edges, rounds = merge_fixpoint(nodes, edges, cfg, local_threshold=0)
     n_final = m_nodes.count()
     n_final_edges = m_edges.count()
     wall = time.monotonic() - t0
+    if "--jiffies" in sys.argv:
+        jiffies = _tree_jiffies() - j0
 
     ok = n_final == expected_final
     out = {
+        **({"fixpoint_jiffies": jiffies} if jiffies is not None else {}),
         "n_nodes": n_nodes,
         "n_edges": n_edges,
         "n_groups": n_groups,
