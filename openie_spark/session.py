@@ -63,6 +63,11 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # experiment hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" overlays configs
+    # without touching call sites (used by the scaling A/B tools)
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
