@@ -435,6 +435,28 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_batch(spark, sf_dir):
+    """Batched IVF ANN (r5): one build_ivf_index + a single ivf_query_batch
+    job answering one probe per blob of the 5-blob fixture. Same
+    unique-optimum argument as ann_ivf_topk, extended per probe; oracle is
+    the pure-numpy golden (tools/make_ivf_goldens.py BATCH_PROBE_IDS)."""
+    from openie_spark.corpus import clustering_fixture_rows
+    from openie_spark.dataops.similarity import build_ivf_index, ivf_query_batch
+
+    rows = clustering_fixture_rows()
+    fixture = spark.createDataFrame(
+        [(i, r[2]) for i, r in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    ).coalesce(1)
+    index = build_ivf_index(fixture, n_cells=5, seed=42, persist=False)
+    probes = [(pid, rows[pid][2]) for pid in (0, 75, 150, 225, 290)]
+    return ivf_query_batch(index, probes, k=20, n_probe=2).select(
+        "probe_id",
+        "vec_id",
+        F.round(F.col("cosine") * 1e4).cast("bigint").alias("cosine_e4"),
+    )
+
+
 def q_minhash_dedup(spark, sf_dir):
     """Exact-oracled: the operator's contract is LSH-candidates verified by
     EXACT shingle Jaccard ≥ threshold, so precision is 1 by construction,
@@ -548,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_batch": q_ann_ivf_batch,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -688,6 +711,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": """
             SELECT vec_id, cosine_e4
             FROM '/root/repo/goldens/ivf/expected_topk.parquet'
+        """,
+        "ann_ivf_batch": """
+            SELECT probe_id, vec_id, cosine_e4
+            FROM '/root/repo/goldens/ivf/expected_batch_topk.parquet'
         """,
         "ngram_jaccard": f"""
             WITH base AS (

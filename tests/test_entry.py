@@ -143,6 +143,9 @@ GOLDEN_DIGESTS = {
     # pure-numpy IVF expected-output golden backing the ann_ivf_topk
     # oracle (tools/make_ivf_goldens.py; same unique-optimum blob fixture)
     "ivf/expected_topk.parquet": ("73f1cdd2c2979fc9", 20),
+    # per-probe batch variant of the same construction (r5,
+    # tools/make_ivf_goldens.py BATCH_PROBE_IDS — one probe per blob)
+    "ivf/expected_batch_topk.parquet": ("1c9f4f823c057ea4", 100),
     # second-implementation pure-Python/numpy goldens
     # (tools/make_dataops_goldens.py) backing the simhash_dedup /
     # ann_lsh_topk oracles; dir named for its source sf (driver sf0.01).

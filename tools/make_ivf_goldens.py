@@ -32,6 +32,8 @@ from tools.make_clustering_goldens import lloyds  # noqa: E402
 N_CELLS = 5
 N_PROBE = 2
 K = 20
+# batch oracle probes: one member of each blob (fixture = 5 blobs × 60)
+BATCH_PROBE_IDS = [0, 75, 150, 225, 290]
 
 
 def main() -> None:
@@ -71,6 +73,35 @@ def main() -> None:
         path,
     )
     print(f"{path} rows={len(out_rows)} digest={golden_digest(out_rows)}")
+
+    # batch-query golden: the same construction for one probe per blob
+    batch_rows = []
+    for pid in BATCH_PROBE_IDS:
+        probe = X[pid]
+        d = ((centers - probe) ** 2).sum(axis=1)
+        cells = set(np.argsort(d)[:N_PROBE].tolist())
+        cand = [i for i in range(n) if labels[i] in cells]
+        scored = sorted(
+            ((cosine(X[i], probe), i) for i in cand), key=lambda t: (-t[0], t[1])
+        )[:K]
+        batch_rows += [
+            {"probe_id": pid, "vec_id": i, "cosine_e4": int(round(c * 1e4))}
+            for c, i in scored
+        ]
+    bpath = out_dir / "expected_batch_topk.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "probe_id": pa.array([r["probe_id"] for r in batch_rows], pa.int64()),
+                "vec_id": pa.array([r["vec_id"] for r in batch_rows], pa.int64()),
+                "cosine_e4": pa.array(
+                    [r["cosine_e4"] for r in batch_rows], pa.int64()
+                ),
+            }
+        ),
+        bpath,
+    )
+    print(f"{bpath} rows={len(batch_rows)} digest={golden_digest(batch_rows)}")
 
 
 if __name__ == "__main__":
