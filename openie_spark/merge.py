@@ -69,6 +69,20 @@ class MergeConfig:
     # cheap insurance; pipeline.run_pipeline wires this automatically when a
     # work_dir is configured.
     checkpoint_dir: Optional[str] = None
+    # Incremental round discovery (r5): rounds ≥ 2 restrict candidate-group
+    # discovery to anchors adjacent to nodes the previous round actually
+    # changed. Sound because a group's outcome can only differ from last
+    # round if its membership edges were rewritten, a member's
+    # weight/descriptions changed (only applied mains), a new exclusion
+    # edge appeared (only incident to rewritten nodes), or a
+    # conflict-deferred entry must be re-proposed (the pre-conflict
+    # candidate set is folded into the affected set) — and in every case
+    # the group's anchor is the changed node or its one-hop neighbor.
+    # Output is IDENTICAL to full per-round discovery (A/B-pinned by
+    # test_incremental_discovery_equals_full and the exact
+    # kg_merge_fixpoint driver oracle, whose chain groups only become
+    # discoverable in round 2); False restores full re-discovery.
+    incremental_discovery: bool = True
 
 
 def _dot(u: F.Column, v: F.Column) -> F.Column:
@@ -91,8 +105,31 @@ def cosine_distance_col(u: F.Column, v: F.Column) -> F.Column:
 
 def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> DataFrame:
     """One round of candidate discovery → mapping(other_key → main_key).
+    See _find_node_mapping; this public wrapper always runs FULL discovery."""
+    mapping, _, joined = _find_node_mapping(nodes, edges, cfg)
+    if joined is not None:
+        joined.unpersist()  # drops the cache only; mapping lineage stands
+    return mapping
 
-    Returns an empty DataFrame when no merges remain.
+
+def _find_node_mapping(
+    nodes: DataFrame,
+    edges: DataFrame,
+    cfg: MergeConfig,
+    anchor_filter: Optional[DataFrame] = None,
+    ) -> Tuple[DataFrame, DataFrame, Optional[DataFrame]]:
+    """One round of candidate discovery → (mapping(other → main), touched,
+    joined-cache handle — unpersist it when the round's consumers are done).
+
+    ``anchor_filter`` (col ``anchor``): restrict discovery to these group
+    anchors — the incremental-rounds path (see MergeConfig.
+    incremental_discovery for the soundness argument). ``touched`` is the
+    pre-conflict candidate node set (every other/main that appeared in a
+    cosine-passing candidate entry, INCLUDING entries later dropped by
+    conflict resolution) — the fixpoint folds it into the next round's
+    affected set so deferred merges are re-proposed.
+
+    Returns an empty mapping DataFrame when no merges remain.
 
     SCALE LAYOUT (r4, forced by the 384k-page capstone): heavy node
     attributes never ride the bulk candidate shuffles. Membership volume
@@ -107,16 +144,28 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     """
     mergeable = edges.filter(~F.col("label").isin(IS_A, RELATES_TO))
     # direction "t": shared (source, key) → candidate targets
-    # direction "s": shared (target, key) → candidate sources
+    # direction "s": shared (target, key) → candidate sources.
+    # The anchor filter is applied per-direction BEFORE the union/distinct:
+    # the membership distinct over the full edge table is the dominant cost
+    # of discovery, so the restriction must reach the scan, not prune after.
+    t_edges = mergeable
+    s_edges = mergeable
+    if anchor_filter is not None:
+        t_edges = mergeable.join(
+            anchor_filter.withColumnRenamed("anchor", "src"), "src", "left_semi"
+        )
+        s_edges = mergeable.join(
+            anchor_filter.withColumnRenamed("anchor", "dst"), "dst", "left_semi"
+        )
     cand = (
-        mergeable.select(
+        t_edges.select(
             F.lit("t").alias("direction"),
             F.col("src").alias("anchor"),
             F.col("edge_key"),
             F.col("dst").alias("cand"),
         )
         .unionByName(
-            mergeable.select(
+            s_edges.select(
                 F.lit("s").alias("direction"),
                 F.col("dst").alias("anchor"),
                 F.col("edge_key"),
@@ -125,6 +174,20 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
         )
         .distinct()
     )
+    import os as _os
+
+    if _os.environ.get("OPENIE_MERGE_DEBUG"):
+        # volume diagnostic (debug only — costs one extra job): how many
+        # membership rows this round's discovery actually scans; the
+        # incremental filter's scale win is THIS collapsing, even where
+        # sandbox walls are stage-barrier-bound
+        import sys as _sys
+
+        print(
+            f"discovery memberships: {cand.count()}"
+            f" (anchors {'restricted' if anchor_filter is not None else 'full'})",
+            file=_sys.stderr,
+        )
 
     # cluster gate: anchor and candidate share a cluster (relations.py:605-607)
     anchor_c = nodes.select(
@@ -156,7 +219,9 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     ).cache()
 
     if grouped.isEmpty():
-        return _empty_mapping(nodes)
+        grouped.unpersist()
+        empty = _empty_mapping(nodes)
+        return empty, empty.select(F.col("other").alias("lemma_key")), None
 
     # pairwise exclusions: an edge between the pair (either direction) or a
     # shared source sentence discards BOTH members (relations.py:627-637).
@@ -189,7 +254,20 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     b = grouped.select("grp", F.col("cand").alias("c2"))
     pairs = a.join(b, "grp").filter(F.col("c1") < F.col("c2"))
 
-    edge_pairs = edges.select("src", "dst").distinct()
+    # exclusion inputs only matter for pair MEMBERS (they are consumed via
+    # semi-joins keyed on the pairs' (c1, c2)) — restrict both global
+    # tables to the member set before the expensive distinct / explode-
+    # self-join. Unconditional: a pure-win restriction for round 1 too,
+    # and it is what makes the incremental rounds cheap (members collapse
+    # to the affected neighborhoods).
+    members = grouped.select(F.col("cand").alias("_mk")).distinct()
+
+    edge_pairs = (
+        edges.join(members.withColumnRenamed("_mk", "src"), "src", "left_semi")
+        .join(members.withColumnRenamed("_mk", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+        .distinct()
+    )
     edge_pairs_both = (
         edge_pairs.select(F.col("src").alias("c1"), F.col("dst").alias("c2"))
         .unionByName(
@@ -199,7 +277,9 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     )
     pairs_with_edge = pairs.join(edge_pairs_both, ["c1", "c2"], "left_semi")
 
-    node_descs = nodes.select(
+    node_descs = nodes.join(
+        members.withColumnRenamed("_mk", "lemma_key"), "lemma_key", "left_semi"
+    ).select(
         F.col("lemma_key").alias("c1"), F.explode("descriptions").alias("_d")
     )
     desc_overlap_pairs = (
@@ -249,12 +329,26 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
     joined = others.join(mains, "grp").filter(
         cosine_distance_col(F.col("main_vector"), F.col("other_vector"))
         <= cfg.cosine_threshold
-    )
+    ).cache()
+    # cached: joined feeds BOTH the mapping and the touched set (and the
+    # fixpoint's several consumers of the mapping) — without the cache each
+    # consumer re-runs the whole discovery (measured: +23s/round at 1M
+    # nodes when the touched materialization re-derived it). It is tiny
+    # (one slim row per cosine-passing candidate). The fixpoint unpersists
+    # it at the end of the round via the returned handle.
 
     # conflict resolution across groups: one main per other (highest-priority
     # main wins); a main absorbed elsewhere defers to the next round
     w_other = Window.partitionBy("other").orderBy(
         F.desc("main_weight"), F.desc("main")
+    )
+    # touched BEFORE conflict resolution: deferred entries (dropped below)
+    # must re-enter next round's affected set or they would never be
+    # re-proposed under incremental discovery
+    touched = (
+        joined.select(F.col("other").alias("lemma_key"))
+        .unionByName(joined.select(F.col("main").alias("lemma_key")))
+        .distinct()
     )
     mapping = (
         joined.withColumn("r", F.row_number().over(w_other))
@@ -267,7 +361,7 @@ def find_node_mapping(nodes: DataFrame, edges: DataFrame, cfg: MergeConfig) -> D
         absorbed, mapping.main == absorbed.k, "left_anti"
     ).select("other", "main")
     grouped.unpersist()
-    return mapping
+    return mapping, touched, joined
 
 
 def _empty_mapping(nodes: DataFrame) -> DataFrame:
@@ -613,27 +707,76 @@ def merge_fixpoint(
     rounds = 0
     nodes = ckpt(nodes, "nodes_init")
     edges = ckpt(edges, "edges_init")
+    anchor_filter = None  # round 1 is always FULL discovery
     while rounds < cfg.max_rounds:
         rounds += 1
         progressed = False
         _t0 = _time.monotonic()
 
-        mapping = find_node_mapping(nodes, edges, cfg).cache()
+        mapping, touched, joined_cache = _find_node_mapping(
+            nodes, edges, cfg, anchor_filter=anchor_filter
+        )
+        mapping = mapping.cache()
         had_mapping = not mapping.isEmpty()
         _t_map = _time.monotonic()
+        affected = None
         if had_mapping:
+            if cfg.incremental_discovery:
+                # materialize the pre-conflict candidate set BEFORE apply
+                # (its lineage reads the pre-apply tables)
+                affected = ckpt(touched, "affected")
             nodes, edges = apply_node_mapping(nodes, edges, mapping, cfg)
             nodes = ckpt(nodes, "nodes")
             edges = ckpt(edges, "edges")
             progressed = True
         mapping.unpersist()
+        if joined_cache is not None:
+            joined_cache.unpersist()
         _t_apply = _time.monotonic()
 
         new_edges = ckpt(merge_parallel_edges(edges), "edges_par")
         edge_changed = not new_edges.filter(F.col("changed") == 1).isEmpty()
+        changed_eps = None
+        if edge_changed and cfg.incremental_discovery:
+            ch = new_edges.filter(F.col("changed") == 1)
+            changed_eps = (
+                ch.select(F.col("src").alias("lemma_key"))
+                .unionByName(ch.select(F.col("dst").alias("lemma_key")))
+                .distinct()
+            )
         edges = new_edges.drop("changed")
         if edge_changed:
             progressed = True
+
+        if cfg.incremental_discovery and progressed:
+            # next round's anchors: every node the round changed (applied
+            # AND conflict-deferred candidates, parallel-merged edge
+            # endpoints) plus its one-hop neighborhood in the post-round
+            # edge table — the only places a group outcome can differ
+            aff = affected
+            if changed_eps is not None:
+                aff = changed_eps if aff is None else aff.unionByName(changed_eps)
+            aff = aff.distinct()
+            e2 = edges.select("src", "dst")
+            nb = (
+                e2.join(
+                    aff.withColumnRenamed("lemma_key", "src"), "src", "left_semi"
+                )
+                .select(F.col("dst").alias("lemma_key"))
+                .unionByName(
+                    e2.join(
+                        aff.withColumnRenamed("lemma_key", "dst"),
+                        "dst",
+                        "left_semi",
+                    ).select(F.col("src").alias("lemma_key"))
+                )
+            )
+            anchor_filter = ckpt(
+                aff.unionByName(nb).distinct().select(
+                    F.col("lemma_key").alias("anchor")
+                ),
+                "anchors",
+            )
         if debug:
             print(
                 f"merge round {rounds}: find={_t_map - _t0:.1f}s "

@@ -650,3 +650,55 @@ def test_distributed_fixpoint_equals_local_randomized(spark):
         ln, le, _ = merge_fixpoint(nodes, edges, MergeConfig())  # local path
         dn, de, _ = merge_fixpoint(nodes, edges, MergeConfig(), local_threshold=0)
         assert our_snapshot(ln, le) == our_snapshot(dn, de), f"case {case}"
+
+
+def test_incremental_discovery_equals_full(spark):
+    """MergeConfig.incremental_discovery (r5) must be output-IDENTICAL to
+    full per-round discovery: rounds ≥ 2 only restrict anchors to the
+    changed neighborhoods, and the soundness argument (docstring on the
+    config field) says no group outside the filter can change outcome.
+    A/B on the small fixtures AND on the confluent merge-fixture corpus,
+    whose chain groups only become discoverable in round 2 — i.e. the
+    round-2 merges MUST be found through the anchor filter."""
+    from openie_spark.corpus import merge_fixture_pages_df
+    from openie_spark.pipeline import PipelineConfig, run_pipeline
+
+    for rows in (MERGE_POSITIVE, EDGE_MERGE, CLUSTER_GATE):
+        nodes, edges = _agg(spark, rows)
+        inc = merge_fixpoint(
+            nodes, edges, MergeConfig(incremental_discovery=True),
+            local_threshold=0,
+        )
+        full = merge_fixpoint(
+            nodes, edges, MergeConfig(incremental_discovery=False),
+            local_threshold=0,
+        )
+        assert our_snapshot(inc[0], inc[1]) == our_snapshot(full[0], full[1])
+
+    # chain corpus end-to-end (same path as the kg_merge_fixpoint oracle)
+    pages = merge_fixture_pages_df(spark, 24)
+    snaps = []
+    for flag in (True, False):
+        from openie_spark.graph import aggregate_edges, aggregate_nodes
+        from openie_spark.extract import extract_triples_df, ok_triples
+        from openie_spark.parse import parse_pages
+        from openie_spark.textclean import clean_pages
+        from pyspark.sql import functions as F
+
+        triples = ok_triples(
+            extract_triples_df(
+                parse_pages(clean_pages(pages, lang="ru")),
+                frozenset(),
+                with_vectors=True,
+            )
+        ).withColumn("cluster", F.lit(0))
+        n = aggregate_nodes(triples, dim=64)
+        e = aggregate_edges(triples)
+        mn, me, rounds = merge_fixpoint(
+            n, e,
+            MergeConfig(strict_parity=True, incremental_discovery=flag),
+            local_threshold=0,
+        )
+        assert rounds >= 2  # the chain groups force a second round
+        snaps.append(our_snapshot(mn, me))
+    assert snaps[0] == snaps[1]

@@ -117,7 +117,12 @@ def main() -> None:
     print(f"graph built: {n_nodes} nodes, {n_edges} edges "
           f"({n_simple} simple + {n_chain} chain groups)", file=sys.stderr)
 
-    cfg = MergeConfig(dim=8, checkpoint_dir=ckpt_dir)
+    cfg = MergeConfig(
+        dim=8,
+        checkpoint_dir=ckpt_dir,
+        # --full-discovery: A/B lever for the r5 incremental-rounds path
+        incremental_discovery="--full-discovery" not in sys.argv,
+    )
     # optional CPU accounting over the measured span: process-TREE jiffies
     # (JVM + Python workers; immune to unrelated VM activity) — lets the
     # N-vs-4N harness separate engine parallel overhead (extra jiffies per
@@ -149,6 +154,7 @@ def main() -> None:
         "merges_correct": ok,
         "final_edges": n_final_edges,
         "checkpoint": "parquet" if ckpt_dir else "localCheckpoint",
+        "incremental_discovery": cfg.incremental_discovery,
     }
     print(json.dumps(out))
     spark.stop()
