@@ -81,8 +81,16 @@ class MergeConfig:
     # Output is IDENTICAL to full per-round discovery (A/B-pinned by
     # test_incremental_discovery_equals_full and the exact
     # kg_merge_fixpoint driver oracle, whose chain groups only become
-    # discoverable in round 2); False restores full re-discovery.
-    incremental_discovery: bool = True
+    # discoverable in round 2); True enables the anchor restriction.
+    # Default OFF: measured SLOWER at both benchmark scales — 1M-node
+    # fixpoint interleaved A/B 102.3s (inc) vs 97.2s (full) median, and
+    # the 384k-page capstone 748.3s vs 708.9s (BENCH/
+    # incremental_discovery_ab.json) — the per-round affected/anchors
+    # materializations and anchor semi-joins cost more than the
+    # membership-scan savings while per-round stage barriers dominate.
+    # Enable it where discovery's membership distinct is the round
+    # bottleneck (very wide graphs, late localized rounds).
+    incremental_discovery: bool = False
 
 
 def _dot(u: F.Column, v: F.Column) -> F.Column:
@@ -585,6 +593,34 @@ def merge_pair_edge_rows(rows):
     return rows, any_change
 
 
+def _edge_merge_cand_pairs(edges: DataFrame) -> DataFrame:
+    """(src, dst) pairs that MIGHT merge: ≥2 clustered rows under ≥2
+    distinct labels (a sound superset of the pairs merge_pair_edge_rows
+    would change — reference relations.py:686-705 merges only across
+    differing non-special labels with cluster evidence). Shared by
+    merge_parallel_edges' dispatch and the fixpoint's skip probe: one slim
+    partial-agg over the edge table, so a round with no candidates skips
+    the full-table rewrite entirely.
+
+    NULL-safe: isin() is NULL-valued for a NULL label, which would
+    silently drop such rows from candidacy while merge_pair_edge_rows
+    treats them as mergeable — coalesce to '' so the pre-filter stays a
+    sound superset (the pipeline never produces NULL labels, but the
+    contract shouldn't depend on that)."""
+    _lbl = F.coalesce(F.col("label"), F.lit(""))
+    return (
+        edges.filter(~_lbl.isin(IS_A, RELATES_TO))
+        .filter(F.size("clusters") > 0)
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct(_lbl).alias("_nl"),
+        )
+        .filter((F.col("_n") >= 2) & (F.col("_nl") >= 2))
+        .select("src", "dst", F.lit(True).alias("_cand"))
+    )
+
+
 def merge_parallel_edges(edges: DataFrame) -> DataFrame:
     """Distributed pair-local edge merging: grouped-map over (src, dst);
     each group is tiny, so the per-group Python is O(k²) on k ≤ dozens.
@@ -609,24 +645,7 @@ def merge_parallel_edges(edges: DataFrame) -> DataFrame:
         rows, _ = merge_pair_edge_rows(rows)
         return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
 
-    # NULL-safe: isin() is NULL-valued for a NULL label, which would silently
-    # drop such rows from candidacy while merge_pair_edge_rows treats them as
-    # mergeable — coalesce to '' so the pre-filter stays a sound superset
-    # (the pipeline never produces NULL labels, but the contract shouldn't
-    # depend on that).
-    _lbl = F.coalesce(F.col("label"), F.lit(""))
-    cand_pairs = (
-        edges.filter(~_lbl.isin(IS_A, RELATES_TO))
-        .filter(F.size("clusters") > 0)
-        .groupBy("src", "dst")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.countDistinct(_lbl).alias("_nl"),
-        )
-        .filter((F.col("_n") >= 2) & (F.col("_nl") >= 2))
-        .select("src", "dst", F.lit(True).alias("_cand"))
-    )
-    flagged = edges.join(cand_pairs, ["src", "dst"], "left")
+    flagged = edges.join(_edge_merge_cand_pairs(edges), ["src", "dst"], "left")
     passthrough = (
         flagged.filter(F.col("_cand").isNull())
         .drop("_cand")
@@ -734,17 +753,25 @@ def merge_fixpoint(
             joined_cache.unpersist()
         _t_apply = _time.monotonic()
 
-        new_edges = ckpt(merge_parallel_edges(edges), "edges_par")
-        edge_changed = not new_edges.filter(F.col("changed") == 1).isEmpty()
+        # Skip probe (r5): a round with no (src, dst) candidate pairs
+        # cannot change the edge table (_edge_merge_cand_pairs is a sound
+        # superset of what merge_pair_edge_rows rewrites), so pay one slim
+        # partial-agg over the checkpointed edges instead of the full-table
+        # rewrite + checkpoint + changed-scan. Every convergence's final
+        # quiescent round and every node-only round takes this path.
+        edge_changed = False
         changed_eps = None
-        if edge_changed and cfg.incremental_discovery:
-            ch = new_edges.filter(F.col("changed") == 1)
-            changed_eps = (
-                ch.select(F.col("src").alias("lemma_key"))
-                .unionByName(ch.select(F.col("dst").alias("lemma_key")))
-                .distinct()
-            )
-        edges = new_edges.drop("changed")
+        if not _edge_merge_cand_pairs(edges).isEmpty():
+            new_edges = ckpt(merge_parallel_edges(edges), "edges_par")
+            edge_changed = not new_edges.filter(F.col("changed") == 1).isEmpty()
+            if edge_changed and cfg.incremental_discovery:
+                ch = new_edges.filter(F.col("changed") == 1)
+                changed_eps = (
+                    ch.select(F.col("src").alias("lemma_key"))
+                    .unionByName(ch.select(F.col("dst").alias("lemma_key")))
+                    .distinct()
+                )
+            edges = new_edges.drop("changed")
         if edge_changed:
             progressed = True
 
@@ -802,8 +829,13 @@ def merge_fixpoint(
         if rounds > 0:
             probe_map = find_node_mapping(nodes, edges, cfg)
             if probe_map.isEmpty():
-                probe_edges = merge_parallel_edges(edges)
-                quiescent = probe_edges.filter(F.col("changed") == 1).isEmpty()
+                if _edge_merge_cand_pairs(edges).isEmpty():
+                    quiescent = True  # no candidates → no possible change
+                else:
+                    probe_edges = merge_parallel_edges(edges)
+                    quiescent = probe_edges.filter(
+                        F.col("changed") == 1
+                    ).isEmpty()
         if not quiescent:
             # the 384k-page capstone used 15 of the default 20 rounds; a
             # larger corpus can legitimately need more → raise max_rounds

@@ -60,8 +60,10 @@ class PipelineConfig:
     merge_local_threshold: Optional[int] = None
     # Threads to MergeConfig.incremental_discovery (see merge.py) — output-
     # identical A/B lever; not in fingerprint() for the same reason as
-    # merge_local_threshold.
-    incremental_discovery: bool = True
+    # merge_local_threshold. Default OFF per the measured A/B (BENCH/
+    # incremental_discovery_ab.json: ~5% slower at both 1M-node and
+    # 384k-page scales).
+    incremental_discovery: bool = False
     # Fuse clean→parse→extract into one mapInPandas (one JVM↔Python
     # crossing instead of three). Only takes effect WITHOUT a work_dir —
     # checkpointed runs materialize the parse stage for resume, which is
