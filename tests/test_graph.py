@@ -617,6 +617,29 @@ def test_merge_parallel_edges_prefilter_equals_unfiltered(spark):
         want = snap(unfiltered(edges))
         assert got == want, f"case {case}: prefilter changed output"
 
+    # NULL label/lemmas/deprel rows (never produced by the pipeline, but the
+    # contract must not depend on that): isin() is NULL-valued on NULL, so an
+    # un-coalesced pre-filter would silently drop such pairs from candidacy
+    # while merge_pair_edge_rows merges them — both paths must agree, and the
+    # merge across (NULL, 'la') must actually happen.
+    null_rows = [
+        ("n0", "n1", "zz + obj", 2, None, None, None, ["s0"], [0]),
+        ("n0", "n1", "la + obj", 1, "la", "la", "obj", ["s1"], [0]),
+        ("n2", "n3", "lb + obj", 1, "lb", "lb", "obj", ["s2"], []),
+    ]
+    edges = spark.createDataFrame(
+        null_rows,
+        "src string, dst string, edge_key string, weight long, "
+        "label string, lemmas string, deprel string, "
+        "descriptions array<string>, clusters array<int>",
+    )
+    got = snap(merge_parallel_edges(edges))
+    want = snap(unfiltered(edges))
+    assert got == want, "NULL-label case: prefilter changed output"
+    merged = [r for r in got if r[0] == "n0" and r[1] == "n1"]
+    assert len(merged) == 1, "NULL-label pair must merge to one edge"
+    assert merged[0][3] == 3, "merged NULL-label edge must sum weights"
+
 
 def test_distributed_fixpoint_equals_local_randomized(spark):
     """Randomized A/B: the DISTRIBUTED merge fixpoint (with the r4
