@@ -92,10 +92,16 @@ def main() -> None:
     ap.add_argument("--cores-n", type=int, default=2)
     ap.add_argument("--cooldown", type=int, default=45)
     ap.add_argument("--out", default="BENCH/merge_topk_scaling.json")
+    # forward to the merge child: measure the production default
+    # (incremental_discovery=False since r5) rather than the child's
+    # argv-derived incremental mode
+    ap.add_argument("--full-discovery", action="store_true")
     args = ap.parse_args()
 
     n, n4 = args.cores_n, args.cores_n * 4
     merge_args = [str(args.groups), str(args.noise_edges)]
+    if args.full_discovery:
+        merge_args.append("--full-discovery")
     topk_args = [str(args.topk_nodes), str(args.topk_edges)]
 
     results = {"merge": [], "topk": []}
