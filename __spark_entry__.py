@@ -474,6 +474,22 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("id_a", "id_b", _micros(F.col("jaccard")).alias("jaccard_micros"))
 
 
+def q_neardup_components(spark, sf_dir):
+    """Pairs→clusters closure (dataops/components.py): distributed
+    connected components (alternating large-star/small-star, Kiveris et
+    al. SOCC'14) over the minhash near-dup pair set, labeling every
+    paired doc with its component MINIMUM (= the dedup survivor id).
+    Exact-oracled: the pair set equals the all-pairs exact-Jaccard ≥ 0.6
+    set (see q_minhash_dedup), and DuckDB computes the same closure with
+    a recursive CTE — full value-hash equality on (node, component)."""
+    from openie_spark.dataops.components import connected_components
+    from openie_spark.dataops.dedup import minhash_lsh_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, n_hashes=32, bands=8, jaccard_threshold=0.6)
+    return connected_components(pairs, a_col="id_a", b_col="id_b")
+
+
 def q_simhash_dedup(spark, sf_dir):
     """Exact-oracled: pigeonhole banding (n_bands = max_hamming+1) has
     guaranteed recall and candidates are popcount-verified, so the output
@@ -572,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
         "minhash_dedup": q_minhash_dedup,
+        "neardup_components": q_neardup_components,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -921,6 +938,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(jaccard * 1e6)::BIGINT AS jaccard_micros
             FROM jac WHERE jaccard >= 0.6
+        """,
+        # - neardup_components: transitive closure of the same exact
+        #   near-dup pair set — component = min reachable id, computed in
+        #   DuckDB with a recursive CTE (components are near-dup clusters,
+        #   so the closure is tiny); Spark computes it with the alternating
+        #   large-star/small-star algorithm. Full value equality.
+        "neardup_components": f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, {toks} AS tk FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(tk) - 3, 0)),
+                       i -> array_to_string(tk[i + 1 : i + 3], ' ')
+                     )) AS shs
+              FROM base WHERE len(tk) > 0
+            ),
+            expl AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+            ),
+            jac AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                       AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+            ),
+            dup AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM dup
+              UNION
+              SELECT id_b AS a, id_a AS b FROM dup
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+              WHERE e.b <> r.a
+            )
+            SELECT a AS node, least(a, min(b)) AS component
+            FROM reach GROUP BY a
         """,
         # - simhash_dedup: output == ALL pairs at hamming ≤ 6 (pigeonhole
         #   recall + popcount verify); signatures from an independent

@@ -248,6 +248,25 @@ def main() -> None:
         repeat=2,
         cooldown=45,
     )
+    # pairs→clusters closure (r5): connected components over the minhash
+    # pair set via alternating large-star/small-star — the step that turns
+    # candidate pairs into dedup survivor clusters. Pair generation is
+    # minhash_dedup's timing; here the pairs are pre-materialized so the
+    # row times the closure itself.
+    from openie_spark.dataops.components import connected_components
+
+    cc_pairs = minhash_lsh_pairs(
+        ddocs, n_hashes=64, bands=8, jaccard_threshold=0.7
+    ).cache()
+    cc_pairs.count()
+    bench(
+        "neardup_cc",
+        lambda: force(connected_components(cc_pairs)),
+        repeat=2,
+        cooldown=15,
+    )
+    cc_pairs.unpersist()
+
     bench("lang_id", lambda: force(lang_id(docs).select("doc_id", "lang_pred")), repeat=2)
     bench("quality", lambda: force(quality_score(docs).select("doc_id", "quality")), repeat=2)
 

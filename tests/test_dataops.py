@@ -501,3 +501,100 @@ def test_ivf_query_batch_matches_per_probe(spark, emb):
         ]
         assert by_probe[pid] == want, pid
     index.unpersist()
+
+
+def test_connected_components_vs_union_find(spark):
+    """Property: the alternating large-star/small-star CC (components.py)
+    must label every node with its component MINIMUM, exactly matching a
+    pure-Python union-find, on random graphs mixing singleton pairs,
+    cliques, and long chains (the star algorithm's worst case)."""
+    import random
+
+    from openie_spark.dataops.components import connected_components
+
+    def union_find_labels(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        roots = {}
+        for n in nodes:
+            roots.setdefault(find(n), []).append(n)
+        return {n: min(members) for r, members in roots.items() for n in members}
+
+    rnd = random.Random(20260817)
+    for case in range(4):
+        n = rnd.randint(20, 120)
+        edges = set()
+        # random edges
+        for _ in range(rnd.randint(5, n)):
+            a, b = rnd.sample(range(n), 2)
+            edges.add((a, b))
+        # a planted chain — diameter stressor
+        chain = rnd.sample(range(n), min(12, n))
+        edges.update(zip(chain, chain[1:]))
+        nodes = {x for e in edges for x in e}
+        want = union_find_labels(edges, nodes)
+
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == want, f"case {case}"
+
+
+def test_connected_components_path_graph_and_strings(spark):
+    """A single 200-node path (maximum diameter per edge count) must
+    converge well inside the round backstop, and string ids must work
+    (components use ordering, not arithmetic)."""
+    from openie_spark.dataops.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(f"d{i:04d}", f"d{i + 1:04d}") for i in range(199)],
+        "id_a string, id_b string",
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == 200
+    assert {r["component"] for r in out} == {"d0000"}
+
+
+def test_dedup_survivors_end_to_end(spark):
+    """docs → pairs → closure → survivors: exactly one survivor (the
+    component min) per duplicate cluster, and unpaired docs untouched."""
+    from openie_spark.dataops.components import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    # clusters {0,1,2} (via chain), {5,7}; 3,4,6,8,9 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 7)], "id_a long, id_b long"
+    )
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [0, 3, 4, 5, 6, 8, 9]
+
+
+def test_connected_components_plan_no_cartesian(spark):
+    """Every join in the CC rounds is an equi-join on an id column — an
+    all-pairs CartesianProduct must be unreachable, and the hot path must
+    stay JVM-side (no EvalPython)."""
+    from openie_spark.dataops.components import _large_star, _small_star
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "a long, b long"
+    )
+    for step in (_large_star(edges), _small_star(edges)):
+        plan = step._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
