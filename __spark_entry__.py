@@ -617,6 +617,39 @@ def oracle_sql() -> dict[str, str]:
     # confluent fixture corpus (tools/make_merge_goldens.py)
     G_MFX_NODES = "'/root/repo/goldens/merge_fixture/nodes_merged.parquet'"
     G_MFX_EDGES = "'/root/repo/goldens/merge_fixture/edges_merged.parquet'"
+    # shared CTE list: the EXACT near-dup pair set (all-pairs shingle
+    # Jaccard ≥ 0.6 via a shared-shingle candidate join) — used verbatim by
+    # BOTH minhash_dedup and neardup_components so the closure oracle is
+    # provably over the same pair set the pair oracle pins (a drift between
+    # two copies would silently break that premise).
+    neardup_pair_ctes = f"""
+            base AS (
+              SELECT doc_id, {toks} AS tk FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(tk) - 3, 0)),
+                       i -> array_to_string(tk[i + 1 : i + 3], ' ')
+                     )) AS shs
+              FROM base WHERE len(tk) > 0
+            ),
+            expl AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
+            ),
+            jac AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(sa.shs, sb.shs))::DOUBLE
+                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
+                       AS jaccard
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+            ),
+            dup AS (SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.6)
+    """
     # shared CTE: A2 edge aggregation over the golden triples. Grouped by
     # (src, dst, edge_key) ONLY — two surface relations sharing lemmas
     # (inflections) share one edge. A non-literal edge always has a
@@ -911,33 +944,9 @@ def oracle_sql() -> dict[str, str]:
         #   ≥ 0.6 (precision exact by the verify stage; banding recall 1 on
         #   this corpus, pytest-pinned) — computed directly in SQL.
         "minhash_dedup": f"""
-            WITH base AS (
-              SELECT doc_id, {toks} AS tk FROM documents
-            ),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(0, greatest(len(tk) - 3, 0)),
-                       i -> array_to_string(tk[i + 1 : i + 3], ' ')
-                     )) AS shs
-              FROM base WHERE len(tk) > 0
-            ),
-            expl AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
-            ),
-            jac AS (
-              SELECT c.id_a, c.id_b,
-                     len(list_intersect(sa.shs, sb.shs))::DOUBLE
-                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
-                       AS jaccard
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.id_a
-              JOIN sh sb ON sb.doc_id = c.id_b
-            )
+            WITH {neardup_pair_ctes}
             SELECT id_a, id_b, round(jaccard * 1e6)::BIGINT AS jaccard_micros
-            FROM jac WHERE jaccard >= 0.6
+            FROM dup
         """,
         # - neardup_components: transitive closure of the same exact
         #   near-dup pair set — component = min reachable id, computed in
@@ -945,32 +954,7 @@ def oracle_sql() -> dict[str, str]:
         #   so the closure is tiny); Spark computes it with the alternating
         #   large-star/small-star algorithm. Full value equality.
         "neardup_components": f"""
-            WITH RECURSIVE base AS (
-              SELECT doc_id, {toks} AS tk FROM documents
-            ),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(0, greatest(len(tk) - 3, 0)),
-                       i -> array_to_string(tk[i + 1 : i + 3], ' ')
-                     )) AS shs
-              FROM base WHERE len(tk) > 0
-            ),
-            expl AS (SELECT doc_id, unnest(shs) AS s FROM sh),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM expl a JOIN expl b ON a.s = b.s AND a.doc_id < b.doc_id
-            ),
-            jac AS (
-              SELECT c.id_a, c.id_b,
-                     len(list_intersect(sa.shs, sb.shs))::DOUBLE
-                       / (len(sa.shs) + len(sb.shs) - len(list_intersect(sa.shs, sb.shs)))
-                       AS jaccard
-              FROM cand c
-              JOIN sh sa ON sa.doc_id = c.id_a
-              JOIN sh sb ON sb.doc_id = c.id_b
-            ),
-            dup AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+            WITH RECURSIVE {neardup_pair_ctes},
             edges AS (
               SELECT id_a AS a, id_b AS b FROM dup
               UNION

@@ -100,14 +100,27 @@ def connected_components(
     to ~2^50-diameter-equivalent — convergence is O(log² n) (see module
     docstring), measured 2–4 on dedup pair sets, 9 on a 200-node path
     graph. Raises RuntimeError if exhausted (never returns wrong labels).
+
+    With ``checkpoint_dir``, stage tables live under a PER-RUN unique
+    subdir (``{checkpoint_dir}/cc_runs/run_{uuid}``) — same contract as
+    merge.merge_fixpoint: concurrent or repeated runs sharing a work_dir
+    cannot overwrite each other's stages. The final labels are
+    materialized under that run dir and the stage tables deleted; GC of
+    old run dirs is the caller's explicit step (they are tiny — one
+    (node, component) table per run).
     """
     spark = pairs.sparkSession
     seq = iter(range(10_000))
+    run_dir = None
+    if checkpoint_dir is not None:
+        import uuid
+
+        run_dir = f"{checkpoint_dir}/cc_runs/run_{uuid.uuid4().hex[:12]}"
 
     def ckpt(df: DataFrame) -> DataFrame:
-        if checkpoint_dir is None:
+        if run_dir is None:
             return df.localCheckpoint(eager=True)
-        path = f"{checkpoint_dir}/cc_{next(seq):04d}"
+        path = f"{run_dir}/stages/{next(seq):04d}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
@@ -142,12 +155,20 @@ def connected_components(
     # (component_min, member); centers map to themselves via the coalesce,
     # as do nodes whose every incident pair was a self-dup
     labels = edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
-    return (
-        nodes.join(labels, "node", "left")
-        .select(
-            "node", F.coalesce("component", "node").alias("component")
-        )
+    out = nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
     )
+    if run_dir is not None:
+        # materialize finals under THIS run's dir, then drop the stage
+        # tables — the returned DataFrame must never lazily read a path a
+        # later run could overwrite
+        final = f"{run_dir}/final/labels"
+        out.write.mode("overwrite").parquet(final)
+        out = spark.read.parquet(final)
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{run_dir}/stages")
+        jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
+    return out
 
 
 def dedup_survivors(

@@ -621,7 +621,9 @@ def _edge_merge_cand_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
-def merge_parallel_edges(edges: DataFrame) -> DataFrame:
+def merge_parallel_edges(
+    edges: DataFrame, cand_pairs: Optional[DataFrame] = None
+) -> DataFrame:
     """Distributed pair-local edge merging: grouped-map over (src, dst);
     each group is tiny, so the per-group Python is O(k²) on k ≤ dozens.
     Emits a ``changed`` flag so the fixpoint can detect quiescence.
@@ -645,7 +647,13 @@ def merge_parallel_edges(edges: DataFrame) -> DataFrame:
         rows, _ = merge_pair_edge_rows(rows)
         return pd.DataFrame(rows, columns=[f.name for f in _EDGE_SCHEMA.fields])
 
-    flagged = edges.join(_edge_merge_cand_pairs(edges), ["src", "dst"], "left")
+    # cand_pairs: pass the precomputed _edge_merge_cand_pairs(edges) when the
+    # caller already ran it (the fixpoint's skip probe does) — the candidate
+    # agg over the full edge table is the expensive half of this function's
+    # setup and must not run twice per round
+    if cand_pairs is None:
+        cand_pairs = _edge_merge_cand_pairs(edges)
+    flagged = edges.join(cand_pairs, ["src", "dst"], "left")
     passthrough = (
         flagged.filter(F.col("_cand").isNull())
         .drop("_cand")
@@ -757,12 +765,20 @@ def merge_fixpoint(
         # cannot change the edge table (_edge_merge_cand_pairs is a sound
         # superset of what merge_pair_edge_rows rewrites), so pay one slim
         # partial-agg over the checkpointed edges instead of the full-table
-        # rewrite + checkpoint + changed-scan. Every convergence's final
-        # quiescent round and every node-only round takes this path.
+        # rewrite + checkpoint + changed-scan. Candidate-free quiescent and
+        # node-only rounds take this path; a graph whose only "candidates"
+        # are permanently excluded pairs (shared-sentence groups) still
+        # pays the full pass — the probe is a superset filter, not an
+        # exclusion evaluator. The cached agg is REUSED by
+        # merge_parallel_edges below, so candidate-bearing rounds pay it
+        # once, not twice.
         edge_changed = False
         changed_eps = None
-        if not _edge_merge_cand_pairs(edges).isEmpty():
-            new_edges = ckpt(merge_parallel_edges(edges), "edges_par")
+        cand_pairs = _edge_merge_cand_pairs(edges).cache()
+        if not cand_pairs.isEmpty():
+            new_edges = ckpt(
+                merge_parallel_edges(edges, cand_pairs=cand_pairs), "edges_par"
+            )
             edge_changed = not new_edges.filter(F.col("changed") == 1).isEmpty()
             if edge_changed and cfg.incremental_discovery:
                 ch = new_edges.filter(F.col("changed") == 1)
@@ -772,6 +788,9 @@ def merge_fixpoint(
                     .distinct()
                 )
             edges = new_edges.drop("changed")
+        # safe to release: the edges_par checkpoint is eager, so nothing
+        # downstream re-reads the cached candidate agg
+        cand_pairs.unpersist()
         if edge_changed:
             progressed = True
 
@@ -829,13 +848,17 @@ def merge_fixpoint(
         if rounds > 0:
             probe_map = find_node_mapping(nodes, edges, cfg)
             if probe_map.isEmpty():
-                if _edge_merge_cand_pairs(edges).isEmpty():
+                probe_cand = _edge_merge_cand_pairs(edges).cache()
+                if probe_cand.isEmpty():
                     quiescent = True  # no candidates → no possible change
                 else:
-                    probe_edges = merge_parallel_edges(edges)
+                    probe_edges = merge_parallel_edges(
+                        edges, cand_pairs=probe_cand
+                    )
                     quiescent = probe_edges.filter(
                         F.col("changed") == 1
                     ).isEmpty()
+                probe_cand.unpersist()
         if not quiescent:
             # the 384k-page capstone used 15 of the default 20 rounds; a
             # larger corpus can legitimately need more → raise max_rounds

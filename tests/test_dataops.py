@@ -598,3 +598,33 @@ def test_connected_components_plan_no_cartesian(spark):
         plan = step._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "EvalPython" not in plan
+
+
+def test_connected_components_checkpoint_runs_isolated(spark, tmp_path):
+    """Two runs sharing a checkpoint_dir must not tread on each other:
+    stage tables live under per-run unique dirs (and are deleted after the
+    finals materialize), and the FIRST run's returned labels stay readable
+    and correct after the second run completes (merge_fixpoint's run_dir
+    contract)."""
+    import os
+
+    from openie_spark.dataops.components import connected_components
+
+    ckpt = str(tmp_path / "cc_work")
+    p1 = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    p2 = spark.createDataFrame([(10, 20)], "id_a long, id_b long")
+    out1 = connected_components(p1, checkpoint_dir=ckpt)
+    out2 = connected_components(p2, checkpoint_dir=ckpt)
+    # first run's lazily-read result must survive the second run
+    assert {(r["node"], r["component"]) for r in out1.collect()} == {
+        (1, 1), (2, 1), (3, 1)
+    }
+    assert {(r["node"], r["component"]) for r in out2.collect()} == {
+        (10, 10), (20, 10)
+    }
+    runs = os.listdir(f"{ckpt}/cc_runs")
+    assert len(runs) == 2, "each run gets its own unique dir"
+    for r in runs:
+        entries = os.listdir(f"{ckpt}/cc_runs/{r}")
+        assert "final" in entries
+        assert "stages" not in entries, "stage tables are GC'd"

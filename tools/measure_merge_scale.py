@@ -16,6 +16,8 @@ timings on stderr), and optionally the durable-checkpoint variant
 (--ckpt DIR). Results go to SCALE.md §8.
 
 Run: python tools/measure_merge_scale.py [n_groups] [n_noise_edges] [--ckpt DIR]
+     [--incremental]   # A/B lever; default is full discovery (the
+                       # production default since r5)
 """
 
 from __future__ import annotations
@@ -120,8 +122,11 @@ def main() -> None:
     cfg = MergeConfig(
         dim=8,
         checkpoint_dir=ckpt_dir,
-        # --full-discovery: A/B lever for the r5 incremental-rounds path
-        incremental_discovery="--full-discovery" not in sys.argv,
+        # Default FULL discovery — the production default since the r5 A/B
+        # (MergeConfig.incremental_discovery=False). --incremental opts
+        # into the A/B lever; --full-discovery is accepted as a no-op for
+        # older harness invocations.
+        incremental_discovery="--incremental" in sys.argv,
     )
     # optional CPU accounting over the measured span: process-TREE jiffies
     # (JVM + Python workers; immune to unrelated VM activity) — lets the
