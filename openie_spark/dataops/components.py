@@ -171,6 +171,34 @@ def connected_components(
     return out
 
 
+def update_components(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Incremental refresh: fold a previous run's (node, component) labels
+    together with newly arrived candidate pairs — output-identical to
+    batch ``connected_components`` over the union of ALL pairs ever seen
+    (equality-tested), because a component's star edges preserve exactly
+    its connectivity. This is the micro-batch path for streaming dedup:
+    state carried forward is one (node, component) row per already-paired
+    doc — O(paired docs), not O(pairs) — and each refresh converges in
+    star-forest + new-pair rounds, not full-history rounds."""
+    as_pairs = labels.select(
+        F.col("node").alias(a_col), F.col("component").alias(b_col)
+    )
+    return connected_components(
+        as_pairs.unionByName(
+            new_pairs.select(F.col(a_col), F.col(b_col))
+        ),
+        a_col=a_col,
+        b_col=b_col,
+        **cc_kwargs,
+    )
+
+
 def dedup_survivors(
     docs: DataFrame,
     pairs: DataFrame,

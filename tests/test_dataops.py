@@ -628,3 +628,39 @@ def test_connected_components_checkpoint_runs_isolated(spark, tmp_path):
         entries = os.listdir(f"{ckpt}/cc_runs/{r}")
         assert "final" in entries
         assert "stages" not in entries, "stage tables are GC'd"
+
+
+def test_update_components_equals_batch(spark):
+    """Incremental refresh (fold prior labels + new pairs) must equal the
+    batch closure over all pairs ever seen — including merges ACROSS
+    micro-batches (a new pair bridging two previously separate
+    components, which must re-label the higher component's members)."""
+    import random
+
+    from openie_spark.dataops.components import (
+        connected_components,
+        update_components,
+    )
+
+    rnd = random.Random(20260820)
+    for case in range(3):
+        n = rnd.randint(15, 60)
+        all_edges = [tuple(rnd.sample(range(n), 2)) for _ in range(n)]
+        cut = rnd.randint(3, len(all_edges) - 3)
+        b1, b2 = all_edges[:cut], all_edges[cut:]
+        # guarantee at least one cross-batch bridge
+        b2.append((b1[0][0], b2[0][0]))
+
+        mk = lambda es: spark.createDataFrame(
+            [(int(a), int(b)) for a, b in es], "id_a long, id_b long"
+        )
+        labels1 = connected_components(mk(b1))
+        inc = {
+            (r["node"], r["component"])
+            for r in update_components(labels1, mk(b2)).collect()
+        }
+        batch = {
+            (r["node"], r["component"])
+            for r in connected_components(mk(b1 + b2)).collect()
+        }
+        assert inc == batch, f"case {case}"
