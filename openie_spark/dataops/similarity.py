@@ -221,35 +221,93 @@ def ivf_query(
 
 def ivf_query_batch(
     index: IvfIndex,
-    probes,  # list of (probe_id, vector) or DataFrame(probe_id, vector)
+    probes,
     k: int = 10,
     n_probe: int = 3,
+    probe_id_col: str = "probe_id",
+    probe_vec_col: Optional[str] = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
-    """Answer MANY probes in ONE Spark job instead of one job per probe:
-    rank cells per probe driver-side against the tiny centroid matrix,
-    build a (cell, probe_id, probe_vec) table, and join it to the
-    assigned vectors on ``cell`` — each probe's scan still touches only
-    its n_probe cells (the join key IS the cell), and a per-probe window
-    keeps the top-k. Per-probe top-k ties break on id, matching
-    ivf_query. Probe count is assumed driver-small (≤ ~10⁵); the
-    candidate volume is n_probes × n_probe cells, sharded by the cell
-    join — no cartesian anywhere."""
+    """Answer MANY probes in ONE Spark job instead of one job per probe.
+
+    ``probes`` is either a driver-side list of ``(probe_id, vector)``
+    pairs (ids may be ints or strings — the schema is inferred) or a
+    DataFrame, read by NAME via ``probe_id_col`` (default ``probe_id``)
+    and ``probe_vec_col`` (default: the index's vec_col, falling back to
+    the first non-id column).
+
+    The probe side is NEVER collected to the driver: each probe's
+    ``n_probe`` nearest cells are assigned in one Arrow-batched matmul
+    against the broadcast centroid matrix, exploded to (cell, probe)
+    rows, and equi-joined to the assigned vectors on ``cell`` — so a
+    corpus-vs-corpus neighbor search (probe side = another full table)
+    runs as a plain distributed join, each probe's candidates limited to
+    its n_probe cells. A per-probe window keeps the top-k with ties
+    broken on id, matching :func:`ivf_query`.
+
+    ``broadcast_probes=True`` (default) hints a broadcast of the exploded
+    probe side — right when probes are query-sized; set False for
+    corpus-scale probe tables so Spark shuffles both sides on ``cell``.
+    No cartesian anywhere either way."""
     from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType, IntegerType
 
     spark = index.assigned.sparkSession
     if isinstance(probes, DataFrame):
-        probes = [(r[0], list(r[1])) for r in probes.collect()]
-    C = index.centroids
-    rows = []
-    for pid, vec in probes:
-        p = np.asarray(vec, dtype=np.float64)
-        d = ((C - p) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:n_probe]:
-            rows.append((int(c), pid, [float(x) for x in vec]))
-    probe_df = spark.createDataFrame(
-        rows, "cell int, probe_id long, probe_vec array<double>"
+        if probe_vec_col is None:
+            if index.vec_col in probes.columns:
+                probe_vec_col = index.vec_col
+            else:
+                others = [c for c in probes.columns if c != probe_id_col]
+                if not others:
+                    raise ValueError(
+                        "probes DataFrame needs a vector column besides "
+                        f"{probe_id_col!r}; got {probes.columns}"
+                    )
+                probe_vec_col = others[0]
+        probe_df = probes.select(
+            F.col(probe_id_col).alias("probe_id"),
+            F.col(probe_vec_col).cast("array<double>").alias("probe_vec"),
+        )
+    else:
+        probes = list(probes)
+        if not probes:
+            raise ValueError("empty probe list")
+        id_type = "string" if isinstance(probes[0][0], str) else "long"
+        probe_df = spark.createDataFrame(
+            [(pid, [float(x) for x in vec]) for pid, vec in probes],
+            f"probe_id {id_type}, probe_vec array<double>",
+        )
+
+    # Arrow-batched cell assignment against the broadcast centroid matrix
+    # — the probe side stays distributed (no driver collect).
+    b_cent = spark.sparkContext.broadcast(
+        np.asarray(index.centroids, dtype=np.float64)
     )
-    cand = index.assigned.join(F.broadcast(probe_df), "cell")
+    np_ = int(n_probe)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(vecs: pd.Series) -> pd.Series:
+        C = b_cent.value
+        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs.tolist()])
+        if M.size == 0:
+            return pd.Series([], dtype=object)
+        # squared euclidean: ||c||^2 - 2 p.c + ||p||^2 (same ordering and
+        # tie-layout as ivf_query's per-probe ((C - p)**2).sum argsort)
+        d = (
+            (C * C).sum(axis=1)[None, :]
+            - 2.0 * (M @ C.T)
+            + (M * M).sum(axis=1)[:, None]
+        )
+        order = np.argsort(d, axis=1)[:, :np_]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    exploded = probe_df.withColumn(
+        "cell", F.explode(nearest_cells(F.col("probe_vec")))
+    )
+    if broadcast_probes:
+        exploded = F.broadcast(exploded)
+    cand = index.assigned.join(exploded, "cell")
     sim = cand.select(
         "probe_id",
         F.col(index.id_col),

@@ -143,7 +143,11 @@ def start_graph_refresh(
     immutable version per epoch, named by the foreachBatch epoch_id so a
     RETRIED epoch overwrites its own directory (idempotent) instead of
     corrupting the previous state, which the merge is still lazily
-    reading. Readers open the highest complete version
+    reading. The old-state lookup is bounded to versions strictly below
+    the current epoch, so a retry whose first attempt already completed
+    both table writes (but died before the streaming checkpoint commit)
+    re-merges against the PRE-epoch state rather than double-counting
+    its own output. Readers open the highest complete version
     (:func:`read_graph_state`); old versions are retained for exactly-once
     retry safety — GC them once the streaming checkpoint has advanced.
 
@@ -151,6 +155,36 @@ def start_graph_refresh(
     stage) get cluster=0, matching the batch pipeline's skip_clustering
     labeling.
     """
+    refresh = make_graph_refresh(
+        state_dir, dim=dim, max_descriptions=max_descriptions
+    )
+
+    writer = (
+        triples_stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_graph_refresh(
+    state_dir: str,
+    dim: int = 64,
+    max_descriptions: Optional[int] = None,
+):
+    """Build the foreachBatch callable :func:`start_graph_refresh` installs.
+
+    Module-level (not a closure inside the writer setup) so the retry
+    contract is directly testable: calling ``refresh(batch, N)`` twice —
+    the completed-write-but-uncommitted-checkpoint replay — must leave
+    state equal to a single application, because the old-state lookup is
+    bounded to versions strictly below N (never the retried epoch's own
+    v{N} output, which would both double-merge the batch and overwrite a
+    path being lazily read)."""
     from .graph import (
         edge_state_delta,
         merge_edge_state,
@@ -166,7 +200,9 @@ def start_graph_refresh(
             batch_df, dim=dim, max_descriptions=max_descriptions
         )
         delta_e = edge_state_delta(batch_df, max_descriptions=max_descriptions)
-        cur = _latest_state_version(spark, state_dir)
+        cur = _latest_state_version(
+            spark, state_dir, max_version=int(epoch_id) - 1
+        )
         if cur is not None:
             old_n = spark.read.parquet(f"{state_dir}/v{cur:08d}/nodes")
             old_e = spark.read.parquet(f"{state_dir}/v{cur:08d}/edges")
@@ -178,21 +214,16 @@ def start_graph_refresh(
         new_n.write.mode("overwrite").parquet(f"{vdir}/nodes")
         new_e.write.mode("overwrite").parquet(f"{vdir}/edges")
 
-    writer = (
-        triples_stream.writeStream.foreachBatch(refresh)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-    )
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return refresh
 
 
-def _latest_state_version(spark: SparkSession, state_dir: str) -> Optional[int]:
+def _latest_state_version(
+    spark: SparkSession, state_dir: str, max_version: Optional[int] = None
+) -> Optional[int]:
     """Highest COMPLETE (``_SUCCESS``-marked, both tables) version under
-    state_dir, or None. Hadoop FS API — works on HDFS/S3 paths too."""
+    state_dir, or None. ``max_version`` (inclusive) bounds the search —
+    :func:`start_graph_refresh` passes ``epoch_id - 1`` so a retried epoch
+    never reads its own output. Hadoop FS API — works on HDFS/S3 paths too."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
@@ -207,6 +238,8 @@ def _latest_state_version(spark: SparkSession, state_dir: str) -> Optional[int]:
         try:
             v = int(name[1:])
         except ValueError:
+            continue
+        if max_version is not None and v > max_version:
             continue
         ok = all(
             fs.exists(

@@ -503,6 +503,49 @@ def test_ivf_query_batch_matches_per_probe(spark, emb):
     index.unpersist()
 
 
+def test_ivf_query_batch_dataframe_probes_no_collect(spark, emb, monkeypatch):
+    """DataFrame probe input (r5 ADVICE + next-round item 3): named columns,
+    non-long (string) probe ids, and NO driver collect of the probe side —
+    cells are assigned in an Arrow UDF against the broadcast centroids, so
+    a corpus-sized probe table works. Results must equal the list path."""
+    from pyspark.sql import DataFrame
+
+    from openie_spark.dataops.similarity import build_ivf_index, ivf_query_batch
+
+    index = build_ivf_index(emb, n_cells=8, seed=42)
+    probe_ids = [0, 7, 23, 41]
+    pairs = [
+        (f"q{i}", emb.filter(F.col("vec_id") == i).first()["embedding"])
+        for i in probe_ids
+    ]
+    want = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 6))
+        for r in ivf_query_batch(index, pairs, k=5, n_probe=3).collect()
+    }
+
+    probes_df = spark.createDataFrame(
+        pairs, "qid string, qvec array<float>"
+    ).select("qid", F.lit(1).alias("decoy"), "qvec")
+
+    # the probe DataFrame must never be collected to the driver
+    def _boom(self, *a, **kw):  # pragma: no cover - should not run
+        raise AssertionError("probe side was collected to the driver")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    out = ivf_query_batch(
+        index, probes_df, k=5, n_probe=3,
+        probe_id_col="qid", probe_vec_col="qvec",
+    )
+    rows = out.toPandas()  # toPandas avoids the patched collect
+    monkeypatch.undo()
+    got = {
+        (r.probe_id, r.vec_id, round(r.cosine, 6))
+        for r in rows.itertuples()
+    }
+    assert got == want
+    index.unpersist()
+
+
 def test_connected_components_vs_union_find(spark):
     """Property: the alternating large-star/small-star CC (components.py)
     must label every node with its component MINIMUM, exactly matching a

@@ -152,3 +152,37 @@ def test_bucketed_graph_tables_prune_on_key_read(spark, tmp_path):
     eplan = eprobe._jdf.queryExecution().executedPlan().toString()
     epf = eplan.split("PartitionFilters: [", 1)
     assert len(epf) == 2 and "bucket" in epf[1].split("]")[0], eplan[:1500]
+
+
+def test_ivf_query_batch_plan_broadcast_cell_join(spark):
+    """ivf_query_batch's candidate step must be a broadcast equi-join on
+    ``cell`` (probe side exploded from an Arrow cell-assignment UDF) — no
+    CartesianProduct / nested-loop, no row-at-a-time BatchEvalPython. With
+    broadcast_probes=False the join degrades to a shuffle equi-join, still
+    never a cartesian (the corpus-vs-corpus configuration)."""
+    from openie_spark.dataops.similarity import build_ivf_index, ivf_query_batch
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    index = build_ivf_index(emb, n_cells=4, seed=1)
+    probes = spark.createDataFrame(
+        [(i, [float(i % 7), 0.5, 1.0]) for i in range(10)],
+        "probe_id long, embedding array<float>",
+    )
+    out = ivf_query_batch(index, probes, k=3, n_probe=2)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # Arrow only, never per-row Python
+    assert out.count() > 0
+
+    shuffled = ivf_query_batch(
+        index, probes, k=3, n_probe=2, broadcast_probes=False
+    )
+    splan = _plan(shuffled)
+    assert "CartesianProduct" not in splan
+    assert "BroadcastNestedLoopJoin" not in splan
+    index.unpersist()

@@ -221,6 +221,55 @@ def _graph_snapshot(nodes, edges):
     return n, e
 
 
+def test_graph_refresh_retry_is_idempotent(spark, tmp_path):
+    """Replayed-epoch safety (VERDICT r5 #1): a foreachBatch epoch whose
+    first attempt completed BOTH state-table writes (_SUCCESS present) but
+    died before the streaming checkpoint commit is re-run by Spark with the
+    SAME epoch_id. The refresh must (a) not read the directory it is about
+    to overwrite and (b) leave state equal to a single application — i.e.
+    the old-state lookup must be bounded strictly below the retried epoch."""
+    from openie_spark.graph import aggregate_edges, aggregate_nodes
+    from openie_spark.streaming import (
+        _latest_state_version,
+        make_graph_refresh,
+        read_graph_state,
+    )
+
+    state = tmp_path / "state"
+    refresh = make_graph_refresh(str(state), dim=64)
+
+    def vec_triples(seed):
+        pages = pages_df(spark, 8, seed=seed, n_sents=4, partitions=2)
+        return ok_triples(
+            extract_triples_df(
+                parse_pages(clean_pages(pages, lang="ru")),
+                frozenset(STOPWORDS_FIXTURE),
+                with_vectors=True,
+            )
+        ).withColumn("cluster", F.lit(0))
+
+    b0 = vec_triples(11)
+    b1 = vec_triples(12)
+
+    refresh(b0, 0)
+    # epoch 1: first attempt completes both writes...
+    refresh(b1, 1)
+    assert _latest_state_version(spark, str(state)) == 1
+    # ...checkpoint never committed -> Spark replays epoch 1 verbatim
+    refresh(b1, 1)
+
+    got = _graph_snapshot(*read_graph_state(spark, str(state)))
+
+    # single-application reference over the same closed input
+    both = b0.unionByName(b1)
+    want = _graph_snapshot(aggregate_nodes(both, dim=64), aggregate_edges(both))
+    assert got == want
+
+    # and the retry must still merge against the PRE-epoch state, never its
+    # own completed v1 (which it is overwriting)
+    assert _latest_state_version(spark, str(state), max_version=0) == 0
+
+
 def test_incremental_graph_refresh_equals_batch(spark, tmp_path):
     """start_graph_refresh merges per-micro-batch node/edge deltas into the
     persistent state tables; over a closed input chopped into several
