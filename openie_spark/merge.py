@@ -776,10 +776,21 @@ def merge_fixpoint(
         changed_eps = None
         cand_pairs = _edge_merge_cand_pairs(edges).cache()
         if not cand_pairs.isEmpty():
+            # Fuse the changed-detection into the checkpoint action itself
+            # (r5 next-round item 2): an Observation on the edges_par write
+            # yields sum(changed) from the SAME job, replacing the separate
+            # full-scan isEmpty probe that cost one extra job-barrier per
+            # candidate-bearing round.
+            from pyspark.sql import Observation
+
+            obs = Observation(f"edges_par_r{rounds}")
             new_edges = ckpt(
-                merge_parallel_edges(edges, cand_pairs=cand_pairs), "edges_par"
+                merge_parallel_edges(edges, cand_pairs=cand_pairs).observe(
+                    obs, F.sum("changed").alias("n_changed")
+                ),
+                "edges_par",
             )
-            edge_changed = not new_edges.filter(F.col("changed") == 1).isEmpty()
+            edge_changed = bool(obs.get["n_changed"] or 0)
             if edge_changed and cfg.incremental_discovery:
                 ch = new_edges.filter(F.col("changed") == 1)
                 changed_eps = (

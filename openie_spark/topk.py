@@ -219,17 +219,23 @@ def bypass_and_drop(
         edges_nm; None when not converged within `iters` (the caller then
         falls back to the coarser label-level filter — chains longer than
         `iters` are vanishingly rare outside synthetic fixtures)."""
+        from pyspark.sql import Observation
+
         reach = seed.localCheckpoint(eager=True)
         frontier = reach
-        for _ in range(iters):
+        for it in range(iters):
+            obs = Observation(f"reach_{it}")
             nxt = (
                 frontier.join(edges_nm, ["n", "label"])
                 .select(F.col("m").alias("n"), "label")
                 .distinct()
                 .join(reach, ["n", "label"], "left_anti")
+                .observe(obs, F.count(F.lit(1)).alias("n_new"))
                 .localCheckpoint(eager=True)
             )
-            if nxt.isEmpty():
+            # frontier size observed on the checkpoint job itself — no
+            # separate isEmpty job per BFS level
+            if int(obs.get["n_new"] or 0) == 0:
                 return reach
             reach = reach.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
@@ -317,6 +323,12 @@ def bypass_and_drop(
     debug = bool(_os.environ.get("OPENIE_BYPASS_DEBUG"))
     rounds = 0
     truncated = False
+    # in-play row count carried across rounds: observed for free on each
+    # round's checkpoint (r5 next-round item 2 — every in-play row touches
+    # a removed node and vice versa, so in_play == 0 ⟺ removed is empty),
+    # replacing the per-round removed.isEmpty() job. None = not yet known
+    # (first round probes once).
+    in_play_known: Optional[int] = None
     for _ in range(max_rounds):
         _t0 = _time.monotonic()
         removed = (
@@ -325,7 +337,7 @@ def bypass_and_drop(
             .distinct()
             .join(keep_df, "lemma_key", "left_anti")
         )
-        if removed.isEmpty():
+        if in_play_known == 0 or (in_play_known is None and removed.isEmpty()):
             break
         rounds += 1
         removed = removed.withColumn("h", F.xxhash64("lemma_key"))
@@ -411,6 +423,9 @@ def bypass_and_drop(
             cur_edges.join(batch.withColumnRenamed("lemma_key", "src"), "src", "left_anti")
             .join(batch.withColumnRenamed("lemma_key", "dst"), "dst", "left_anti")
         )
+        from pyspark.sql import Observation
+
+        obs = Observation(f"bypass_r{rounds}")
         merged = (
             untouched.select(bypass.columns)
             .unionByName(bypass)
@@ -431,25 +446,35 @@ def bypass_and_drop(
             .join(k_dst.withColumn("dst_kept", F.lit(True)), "dst", "left")
             .withColumn("src_kept", F.coalesce(src_kept, F.lit(False)))
             .withColumn("dst_kept", F.coalesce(dst_kept, F.lit(False)))
+            .observe(
+                obs,
+                F.sum((~(src_kept & dst_kept)).cast("long")).alias("in_play"),
+            )
             .localCheckpoint(eager=True)
         )
         done_parts.append(
             merged.filter(src_kept & dst_kept).select(edges.columns)
         )
         cur_edges = merged.filter(~(src_kept & dst_kept)).select(edges.columns)
+        in_play_known = int(obs.get["in_play"] or 0)
         if debug:
             import sys as _sys
 
             print(
                 f"bypass round {rounds}: {_time.monotonic() - _t0:.1f}s "
-                f"in_play={cur_edges.count()} removed={removed.count()}",
+                f"in_play={in_play_known}",
                 file=_sys.stderr,
             )
 
     else:
         # max_rounds exhausted: never return edges referencing nodes absent
         # from new_nodes — drop any leftovers loudly instead of dangling.
-        if not cur_edges.isEmpty():
+        leftover = (
+            in_play_known
+            if in_play_known is not None
+            else (0 if cur_edges.isEmpty() else 1)
+        )
+        if leftover:
             import logging
 
             logging.getLogger(__name__).warning(
