@@ -117,58 +117,94 @@ def connected_components(
 
         run_dir = f"{checkpoint_dir}/cc_runs/run_{uuid.uuid4().hex[:12]}"
 
-    def ckpt(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+
+    def ckpt(df: DataFrame, obs: Optional[Observation] = None) -> DataFrame:
+        if obs is not None:
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if run_dir is None:
             return df.localCheckpoint(eager=True)
         path = f"{run_dir}/stages/{next(seq):04d}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    edges = ckpt(
-        _canonical(
-            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        )
-    )
-    nodes = ckpt(
-        pairs.select(F.col(a_col).alias("node"))
-        .unionByName(pairs.select(F.col(b_col).alias("node")))
-        .distinct()
-    )
-
-    for _ in range(max_rounds):
-        new_edges = ckpt(_small_star(_large_star(edges)))
-        # exact fixpoint check: the alternation strictly shrinks a
-        # potential until the star forest, which is a fixpoint of both ops
-        unchanged = (
-            new_edges.join(edges, ["a", "b"], "left_anti").isEmpty()
-            and edges.join(new_edges, ["a", "b"], "left_anti").isEmpty()
-        )
-        edges = new_edges
-        if unchanged:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components: not converged in {max_rounds} rounds"
-        )
-
-    # star forest, stored canonically (a < b) — so every edge is
-    # (component_min, member); centers map to themselves via the coalesce,
-    # as do nodes whose every incident pair was a self-dup
-    labels = edges.select(F.col("b").alias("node"), F.col("a").alias("component"))
-    out = nodes.join(labels, "node", "left").select(
-        "node", F.coalesce("component", "node").alias("component")
-    )
-    if run_dir is not None:
-        # materialize finals under THIS run's dir, then drop the stage
-        # tables — the returned DataFrame must never lazily read a path a
-        # later run could overwrite
-        final = f"{run_dir}/final/labels"
-        out.write.mode("overwrite").parquet(final)
-        out = spark.read.parquet(final)
+    def _delete(path: str) -> None:
         jvm = spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{run_dir}/stages")
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
         jpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jpath, True)
-    return out
+
+    try:
+        obs0 = Observation("cc_edges_init")
+        edges = ckpt(
+            _canonical(
+                pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            ),
+            obs0,
+        )
+        nodes = ckpt(
+            pairs.select(F.col(a_col).alias("node"))
+            .unionByName(pairs.select(F.col(b_col).alias("node")))
+            .distinct()
+        )
+        n_edges = int(obs0.get["n"])
+
+        for rnd in range(max_rounds):
+            obs = Observation(f"cc_round_{rnd}")
+            new_edges = ckpt(_small_star(_large_star(edges)), obs)
+            n_new = int(obs.get["n"])
+            # exact fixpoint check: the alternation strictly shrinks a
+            # potential until the star forest, which is a fixpoint of both
+            # ops. Both edge sets are distinct, so |new| == |old| plus
+            # new ⊆ old (one anti-join) proves set equality — the counts
+            # come free from the checkpoint's Observation, halving the
+            # per-round probe jobs.
+            unchanged = n_new == n_edges and new_edges.join(
+                edges, ["a", "b"], "left_anti"
+            ).isEmpty()
+            edges, n_edges = new_edges, n_new
+            if unchanged:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: not converged in {max_rounds} rounds"
+            )
+
+        # star forest, stored canonically (a < b) — so every edge is
+        # (component_min, member); centers map to themselves via the
+        # coalesce, as do nodes whose every incident pair was a self-dup
+        labels = edges.select(
+            F.col("b").alias("node"), F.col("a").alias("component")
+        )
+        out = nodes.join(labels, "node", "left").select(
+            "node", F.coalesce("component", "node").alias("component")
+        )
+        if run_dir is not None:
+            # materialize finals under THIS run's dir, then drop the stage
+            # tables — the returned DataFrame must never lazily read a path
+            # a later run could overwrite
+            final = f"{run_dir}/final/labels"
+            out.write.mode("overwrite").parquet(final)
+            out = spark.read.parquet(final)
+            _delete(f"{run_dir}/stages")
+        return out
+    except BaseException:
+        # mid-run failure (incl. the max_rounds RuntimeError): nothing
+        # under this run dir is a usable final — reclaim it instead of
+        # leaving stage tables no gc helper covers
+        if run_dir is not None:
+            _delete(run_dir)
+        raise
+
+
+def gc_cc_runs(spark, checkpoint_dir: str, keep: int = 1) -> int:
+    """Explicitly garbage-collect old connected-components run dirs under
+    ``{checkpoint_dir}/cc_runs``, keeping the ``keep`` most recent — the
+    cc counterpart of merge.gc_merge_runs (finals of completed runs may
+    still be lazily read by their consumers, so cross-run reclamation is
+    never implicit). Returns the number of run dirs removed."""
+    from ..fsgc import gc_child_dirs
+
+    return gc_child_dirs(spark, f"{checkpoint_dir}/cc_runs", keep)
 
 
 def update_components(

@@ -134,6 +134,45 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, band_hash) — each document's LSH banding entries: the
+    signature split into ``bands`` row-groups, each hashed to one bucket
+    key. Deterministic per (text, parameters), so entries computed in
+    different batches are join-compatible — the property the streaming
+    dedup refresh relies on (a cross-batch near-dup pair surfaces when
+    the later doc's band entry joins the earlier doc's stored entry)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(
+                                F.col("signature"),
+                                b * rows_per_band + 1,
+                                rows_per_band,
+                            ),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -148,25 +187,7 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
     """
-    rows_per_band = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = minhash_bands(df, id_col, text_col, n_hashes, bands, shingle_n)
     # drop pathological buckets (boilerplate) — observable, not silent
     w = Window.partitionBy("band", "band_hash")
     banded = banded.withColumn("bucket_size", F.count(F.lit(1)).over(w)).filter(
@@ -236,7 +257,12 @@ def verify_jaccard(
         if checkpoint_dir is not None:
             import uuid as _uuid
 
-            path = f"{checkpoint_dir}/verify_pairs_{_uuid.uuid4().hex[:12]}"
+            # per-call unique snapshot under a gc-able root: the returned
+            # plan reads this path lazily, so no call may delete a sibling
+            # implicitly — reclaim old snapshots with gc_verify_pairs
+            path = (
+                f"{checkpoint_dir}/verify_pairs/run_{_uuid.uuid4().hex[:12]}"
+            )
             pairs.write.mode("overwrite").parquet(path)
             pairs = df.sparkSession.read.parquet(path)
         else:
@@ -270,6 +296,21 @@ def verify_jaccard(
         return out.select("id_a", "id_b", "jaccard")
     if method != "explode":
         raise ValueError(f"unknown verify method: {method!r}")
+    return _verify_jaccard_explode(df, pairs, id_col, text_col, shingle_n)
+
+
+def gc_verify_pairs(spark, checkpoint_dir: str, keep: int = 1) -> int:
+    """Explicitly garbage-collect old verify_jaccard pair snapshots under
+    ``{checkpoint_dir}/verify_pairs``, keeping the ``keep`` most recent.
+    verify_jaccard(checkpoint_dir=...) writes one snapshot per call and
+    its returned plan reads it lazily, so — like merge/cc runs — disk is
+    reclaimed only by this explicit step. Returns dirs removed."""
+    from ..fsgc import gc_child_dirs
+
+    return gc_child_dirs(spark, f"{checkpoint_dir}/verify_pairs", keep)
+
+
+def _verify_jaccard_explode(df, pairs, id_col, text_col, shingle_n):
     sh = df.select(
         F.col(id_col).alias("_id"), word_shingles(text_col, shingle_n).alias("shs")
     )

@@ -23,10 +23,10 @@ extraction path itself is stateless, so late data simply flows through.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .corpus import PAGES_SCHEMA_DDL, STOPWORDS_FIXTURE
@@ -218,12 +218,15 @@ def make_graph_refresh(
 
 
 def _latest_state_version(
-    spark: SparkSession, state_dir: str, max_version: Optional[int] = None
+    spark: SparkSession,
+    state_dir: str,
+    max_version: Optional[int] = None,
+    tables: Tuple[str, ...] = ("nodes", "edges"),
 ) -> Optional[int]:
-    """Highest COMPLETE (``_SUCCESS``-marked, both tables) version under
-    state_dir, or None. ``max_version`` (inclusive) bounds the search —
-    :func:`start_graph_refresh` passes ``epoch_id - 1`` so a retried epoch
-    never reads its own output. Hadoop FS API — works on HDFS/S3 paths too."""
+    """Highest COMPLETE (``_SUCCESS``-marked in every listed table) version
+    under state_dir, or None. ``max_version`` (inclusive) bounds the search
+    — the refresh callables pass ``epoch_id - 1`` so a retried epoch never
+    reads its own output. Hadoop FS API — works on HDFS/S3 paths too."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(state_dir)
@@ -247,7 +250,7 @@ def _latest_state_version(
                     f"{state_dir}/{name}/{t}/_SUCCESS"
                 )
             )
-            for t in ("nodes", "edges")
+            for t in tables
         )
         if ok and (best is None or v > best):
             best = v
@@ -341,3 +344,224 @@ def stream_dedup_docs(
     return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+_DEDUP_STATE_TABLES = ("hashes", "bands", "labels")
+
+
+def make_dedup_refresh(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+):
+    """Build the foreachBatch callable for the composed streaming dedup
+    path (VERDICT r5 item 4): per micro-batch,
+
+    1. exact first-seen dedup — the batch's min-id row per content hash,
+       anti-joined against the accumulated hash state (only genuinely new
+       content proceeds);
+    2. the new docs land in ``{state_dir}/docs/epoch=N`` (overwrite-per-
+       epoch, so the append-only corpus is retry-idempotent);
+    3. near-dup candidate pairs — the new docs' MinHash band entries
+       joined against the accumulated band index ∪ themselves, so
+       cross-batch near-dups surface the moment the later doc arrives;
+    4. exact-Jaccard verification against the accumulated docs table;
+    5. :func:`openie_spark.dataops.components.update_components` folds the
+       verified pairs into the persistent (node, component) labels.
+
+    State layout: ``{state_dir}/v{epoch:08d}/{hashes,bands,labels}`` — one
+    immutable version per epoch with the SAME retry guard as the graph
+    refresh: the previous-state lookup is bounded strictly below the
+    current epoch, so a replayed epoch (writes completed, streaming
+    checkpoint uncommitted) recomputes from the pre-epoch state and its
+    overwrites are idempotent.
+
+    Determinism note: "first seen" within a batch is the minimum id per
+    content hash (micro-batch row order is not defined); with ids that
+    increase with arrival order this equals arrival-order-first, and over
+    any closed input the survivor set equals the batch pipeline
+    exact_dedup → minhash_lsh_pairs → dedup_survivors (equality-pinned).
+    The band-bucket skew cap (max_bucket) is NOT applied on this path:
+    caps are emission-time decisions, and an epoch-local cap would make
+    the result depend on batch boundaries — cap upstream if needed.
+
+    Scale: steps 1–5 are all equi-joins keyed on content_hash / band
+    buckets / node ids; per-epoch state rewrite is O(unique docs seen) —
+    the same rewrite-per-epoch contract as the graph refresh (compact or
+    GC with :func:`gc_graph_state`'s sibling ``gc_dedup_state``)."""
+    from .dataops.components import update_components
+    from .dataops.dedup import (
+        minhash_bands,
+        normalized_text,
+        verify_jaccard,
+    )
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        epoch = int(epoch_id)
+        cur = _latest_state_version(
+            spark, state_dir, max_version=epoch - 1, tables=_DEDUP_STATE_TABLES
+        )
+        hashed = batch_df.withColumn(
+            "content_hash", F.md5(normalized_text(text_col))
+        )
+        # min-id survivor per content hash WITHIN the batch
+        w_first = Window.partitionBy("content_hash").orderBy(F.col(id_col))
+        batch_first = (
+            hashed.withColumn("_rk", F.row_number().over(w_first))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+        if cur is not None:
+            vdir_prev = f"{state_dir}/v{cur:08d}"
+            prev_hashes = spark.read.parquet(f"{vdir_prev}/hashes")
+            prev_bands = spark.read.parquet(f"{vdir_prev}/bands")
+            prev_labels = spark.read.parquet(f"{vdir_prev}/labels")
+            new_docs = batch_first.join(prev_hashes, "content_hash", "left_anti")
+        else:
+            prev_hashes = prev_bands = prev_labels = None
+            new_docs = batch_first
+
+        # retry-idempotent append: this epoch's docs partition is OVERWRITTEN
+        docs_epoch = f"{state_dir}/docs/epoch={epoch:08d}"
+        new_docs.select(id_col, text_col, "content_hash").write.mode(
+            "overwrite"
+        ).parquet(docs_epoch)
+        new_docs = spark.read.parquet(docs_epoch)
+
+        new_bands = minhash_bands(
+            new_docs, id_col, text_col, n_hashes, bands, shingle_n
+        )
+        all_bands = (
+            new_bands
+            if prev_bands is None
+            else prev_bands.unionByName(new_bands)
+        )
+        cand = (
+            new_bands.select(
+                "band", "band_hash", F.col(id_col).alias("id_a")
+            )
+            .join(
+                all_bands.select(
+                    "band", "band_hash", F.col(id_col).alias("id_b")
+                ),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .distinct()
+        )
+        all_docs = spark.read.parquet(f"{state_dir}/docs")
+        pairs = verify_jaccard(
+            all_docs, cand, id_col, text_col, shingle_n
+        ).filter(F.col("jaccard") >= jaccard_threshold)
+
+        if prev_labels is not None:
+            labels = update_components(prev_labels, pairs)
+        else:
+            # bootstrap: CC over the first epoch's pairs; empty-safe
+            labels = update_components(
+                new_docs.select(
+                    F.col(id_col).alias("node"),
+                    F.col(id_col).alias("component"),
+                ).limit(0),
+                pairs,
+            )
+
+        vdir = f"{state_dir}/v{epoch:08d}"
+        hashes = new_docs.select("content_hash")
+        if prev_hashes is not None:
+            hashes = prev_hashes.unionByName(hashes)
+        hashes.write.mode("overwrite").parquet(f"{vdir}/hashes")
+        all_bands.write.mode("overwrite").parquet(f"{vdir}/bands")
+        labels.write.mode("overwrite").parquet(f"{vdir}/labels")
+
+    return refresh
+
+
+def start_dedup_refresh(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: Optional[int] = None,
+    **dedup_kwargs,
+):
+    """Wire :func:`make_dedup_refresh` as a foreachBatch sink on a docs
+    stream — the end-to-end streaming dedup story: exact first-seen →
+    near-dup pairs (cross-batch) → incremental connected components, all
+    per micro-batch with per-epoch immutable state."""
+    refresh = make_dedup_refresh(state_dir, **dedup_kwargs)
+    writer = (
+        docs_stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_dedup_survivors(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "doc_id",
+):
+    """Open the latest complete dedup state as the surviving corpus:
+    exact-unique docs minus near-dup cluster non-minima — the same
+    contract as batch dataops.components.dedup_survivors. Returns None
+    when no version is complete yet."""
+    cur = _latest_state_version(spark, state_dir, tables=_DEDUP_STATE_TABLES)
+    if cur is None:
+        return None
+    docs = spark.read.parquet(f"{state_dir}/docs")
+    labels = spark.read.parquet(f"{state_dir}/v{cur:08d}/labels")
+    losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def gc_dedup_state(spark: SparkSession, state_dir: str, keep: int = 2) -> int:
+    """Drop all but the ``keep`` newest complete dedup state versions —
+    the docs/epoch=N partitions are part of the live corpus and are never
+    GC'd here. Returns versions removed."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return 0
+    complete = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v")):
+            continue
+        try:
+            v = int(name[1:])
+        except ValueError:
+            continue
+        ok = all(
+            fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{state_dir}/{name}/{t}/_SUCCESS"
+                )
+            )
+            for t in _DEDUP_STATE_TABLES
+        )
+        if ok:
+            complete.append(v)
+    complete.sort()
+    removed = 0
+    for v in complete[: max(0, len(complete) - max(keep, 1))]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v:08d}"), True)
+        removed += 1
+    return removed

@@ -673,6 +673,73 @@ def test_connected_components_checkpoint_runs_isolated(spark, tmp_path):
         assert "stages" not in entries, "stage tables are GC'd"
 
 
+def test_connected_components_failure_reclaims_run_dir(spark, tmp_path):
+    """A mid-run failure (max_rounds exhausted) with checkpoint_dir set
+    must not strand stage tables: the run dir is deleted in the failure
+    path, and gc_cc_runs reclaims old COMPLETED runs (r5 ADVICE)."""
+    import os
+
+    import pytest
+
+    from openie_spark.dataops.components import (
+        connected_components,
+        gc_cc_runs,
+    )
+
+    ckpt = str(tmp_path / "cc_work")
+    # a path graph needs several alternations; max_rounds=1 forces the
+    # RuntimeError after stage tables were already written
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_rounds=1, checkpoint_dir=ckpt)
+    assert os.listdir(f"{ckpt}/cc_runs") == [], "failed run dir reclaimed"
+
+    # completed runs stay until explicit gc; gc keeps the newest
+    out1 = connected_components(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+        checkpoint_dir=ckpt,
+    )
+    out1.collect()
+    out2 = connected_components(
+        spark.createDataFrame([(5, 6)], "id_a long, id_b long"),
+        checkpoint_dir=ckpt,
+    )
+    assert len(os.listdir(f"{ckpt}/cc_runs")) == 2
+    assert gc_cc_runs(spark, ckpt, keep=1) == 1
+    assert len(os.listdir(f"{ckpt}/cc_runs")) == 1
+    # the kept (newest) run's labels are still readable
+    assert {(r["node"], r["component"]) for r in out2.collect()} == {
+        (5, 5), (6, 5)
+    }
+
+
+def test_verify_jaccard_snapshots_gc(spark, tmp_path):
+    """verify_jaccard(checkpoint_dir=...) snapshots accumulate one dir per
+    call under {dir}/verify_pairs; gc_verify_pairs reclaims old ones while
+    the newest stays readable (r5 ADVICE: there was no gc path at all)."""
+    import os
+
+    from openie_spark.dataops.dedup import gc_verify_pairs, verify_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"), (3, "x y z w q r")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    ckpt = str(tmp_path / "vwork")
+    out1 = verify_jaccard(docs, pairs, checkpoint_dir=ckpt)
+    out1.collect()
+    out2 = verify_jaccard(docs, pairs, checkpoint_dir=ckpt)
+    assert len(os.listdir(f"{ckpt}/verify_pairs")) == 2
+    assert gc_verify_pairs(spark, ckpt, keep=1) == 1
+    assert len(os.listdir(f"{ckpt}/verify_pairs")) == 1
+    got = {(r["id_a"], r["id_b"], round(r["jaccard"], 4)) for r in out2.collect()}
+    # 3-shingles: doc1/doc2 share {abc,bcd,cde} of 4 each -> J = 3/5
+    assert got == {(1, 2, round(3 / 5, 4)), (1, 3, 0.0)}
+
+
 def test_update_components_equals_batch(spark):
     """Incremental refresh (fold prior labels + new pairs) must equal the
     batch closure over all pairs ever seen — including merges ACROSS
