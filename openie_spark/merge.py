@@ -91,6 +91,28 @@ class MergeConfig:
     # Enable it where discovery's membership distinct is the round
     # bottleneck (very wide graphs, late localized rounds).
     incremental_discovery: bool = False
+    # Shuffle partitions for the fixpoint's rounds (r6, VERDICT r5 item 5):
+    # the session default (2× cores) is sized for the corpus-scale extract
+    # span, but fixpoint rounds shuffle the AGGREGATED graph — seconds-long
+    # stages where task-count overhead dominates. Interleaved 16-core A/B
+    # at 1M nodes / 3M edges (BENCH/shuffle_parts_ab.json): 8 partitions
+    # 83.1/82.3s vs 32 partitions 90.9/87.8s wall, identical CPU and exact
+    # merge counts — confirming the MERGE_TOPK_SCALING.md hypothesis that
+    # 2×-cores partitioning taxes second-long rounds ~7%. None → auto:
+    # rows/250k clamped to [8, 2×cores] when the graph size is known (the
+    # local-threshold dispatch already counts it); explicit int pins it
+    # (the scale tools pass their known graph size through this).
+    round_shuffle_partitions: Optional[int] = None
+
+
+def suggest_round_shuffle_partitions(
+    spark, total_rows: int, rows_per_partition: int = 250_000
+) -> int:
+    """Data-volume-scaled shuffle-partition count for fixpoint rounds:
+    ~250k graph rows per task, floored at 8 (skew headroom for AQE to
+    split), capped at the session shape (2× defaultParallelism)."""
+    cores = spark.sparkContext.defaultParallelism
+    return int(max(8, min(2 * cores, total_rows // rows_per_partition or 1)))
 
 
 def _dot(u: F.Column, v: F.Column) -> F.Column:
@@ -699,13 +721,17 @@ def merge_fixpoint(
     cfg = cfg or MergeConfig()
     if local_threshold is None:
         local_threshold = LOCAL_FIXPOINT_THRESHOLD
+    spark = nodes.sparkSession
+    round_parts = cfg.round_shuffle_partitions
     if local_threshold > 0:
         n_count = nodes.count()
         e_count = edges.count()
         if n_count + e_count <= local_threshold:
             return _merge_fixpoint_via_driver(nodes, edges, cfg)
-
-    spark = nodes.sparkSession
+        if round_parts is None:
+            round_parts = suggest_round_shuffle_partitions(
+                spark, n_count + e_count
+            )
     seq = iter(range(10_000))
     run_dir = None
     if cfg.checkpoint_dir is not None:
@@ -731,6 +757,30 @@ def merge_fixpoint(
     import time as _time
 
     debug = bool(_os.environ.get("OPENIE_MERGE_DEBUG"))
+    # Scope the round-sized shuffle-partition count to this convergence:
+    # every round's shuffles run while the conf is set (ckpt materializes
+    # each round eagerly, and the finals below are parquet/checkpoint-
+    # materialized before restore, so nothing lazy escapes the scope).
+    # Session-global conf is the only per-query lever Spark exposes here;
+    # concurrent queries in the same session during a fixpoint would share
+    # it — acceptable for a batch pipeline stage, noted for embedders.
+    _prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if round_parts is not None and str(round_parts) != _prior_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
+    else:
+        _prior_parts = None  # nothing to restore
+    try:
+        return _merge_fixpoint_rounds(
+            spark, nodes, edges, cfg, ckpt, run_dir, debug, _sys, _time
+        )
+    finally:
+        if _prior_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prior_parts)
+
+
+def _merge_fixpoint_rounds(
+    spark, nodes, edges, cfg, ckpt, run_dir, debug, _sys, _time
+):
     rounds = 0
     nodes = ckpt(nodes, "nodes_init")
     edges = ckpt(edges, "edges_init")

@@ -392,7 +392,13 @@ def make_dedup_refresh(
     Scale: steps 1–5 are all equi-joins keyed on content_hash / band
     buckets / node ids; per-epoch state rewrite is O(unique docs seen) —
     the same rewrite-per-epoch contract as the graph refresh (compact or
-    GC with :func:`gc_graph_state`'s sibling ``gc_dedup_state``)."""
+    GC with :func:`gc_graph_state`'s sibling ``gc_dedup_state``). The
+    exact-Jaccard verify re-reads the accumulated docs table each epoch
+    (pruned to candidate ids by verify_jaccard's semi-join, but still a
+    scan of the docs parquet); with epoch-partitioned docs a deployment
+    that tracks id→epoch can restrict that scan to the partitions holding
+    candidates — not done here because candidates are bounded by the band
+    join, so the scan, not the join, is the first thing to shard."""
     from .dataops.components import update_components
     from .dataops.dedup import (
         minhash_bands,

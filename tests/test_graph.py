@@ -725,3 +725,54 @@ def test_incremental_discovery_equals_full(spark):
         assert rounds >= 2  # the chain groups force a second round
         snaps.append(our_snapshot(mn, me))
     assert snaps[0] == snaps[1]
+
+
+def test_fixpoint_round_shuffle_partitions_scoped(spark):
+    """The r6 data-scaled round-partition policy (VERDICT r5 item 5) must
+    (a) apply an explicit round_shuffle_partitions during the distributed
+    rounds, (b) restore the session conf afterwards — even when the
+    fixpoint raises — and (c) not change results (exactness is pinned by
+    the scale tools' closed-form check and the fixture oracles; here we
+    assert the small-graph outcome matches the default-config run)."""
+    from openie_spark.merge import suggest_round_shuffle_partitions
+
+    nodes, edges = _agg(spark, MERGE_POSITIVE)
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+
+    base_n, base_e, _ = merge_fixpoint(
+        nodes, edges, MergeConfig(), local_threshold=0
+    )
+    base = {r["lemma_key"] for r in base_n.select("lemma_key").collect()}
+
+    mn, me, _ = merge_fixpoint(
+        nodes,
+        edges,
+        MergeConfig(round_shuffle_partitions=4),
+        local_threshold=0,
+    )
+    got = {r["lemma_key"] for r in mn.select("lemma_key").collect()}
+    assert got == base
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior
+
+    # auto policy floors at 8 and caps at 2x parallelism
+    assert suggest_round_shuffle_partitions(spark, 10) == 8
+    two_cores = 2 * spark.sparkContext.defaultParallelism
+    assert (
+        suggest_round_shuffle_partitions(spark, 10**12) == two_cores
+    )
+    assert suggest_round_shuffle_partitions(spark, 4_000_000) == min(
+        16, two_cores
+    )
+
+    # restore-on-raise: max_rounds=0 exhausts immediately (returns, no
+    # raise) — force a raise instead via a bad column upstream
+    import pytest
+
+    with pytest.raises(Exception):
+        merge_fixpoint(
+            nodes.drop("weight"),
+            edges,
+            MergeConfig(round_shuffle_partitions=4),
+            local_threshold=0,
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prior

@@ -119,9 +119,20 @@ def main() -> None:
     print(f"graph built: {n_nodes} nodes, {n_edges} edges "
           f"({n_simple} simple + {n_chain} chain groups)", file=sys.stderr)
 
+    from openie_spark.merge import suggest_round_shuffle_partitions
+
     cfg = MergeConfig(
         dim=8,
         checkpoint_dir=ckpt_dir,
+        # local_threshold=0 skips the counting dispatch, so pass the known
+        # graph size through the r6 data-scaled round-partition policy
+        # (disable with --no-round-parts for A/B legs pinning the session
+        # default)
+        round_shuffle_partitions=(
+            None
+            if "--no-round-parts" in sys.argv
+            else suggest_round_shuffle_partitions(spark, n_nodes + n_edges)
+        ),
         # Default FULL discovery — the production default since the r5 A/B
         # (MergeConfig.incremental_discovery=False). --incremental opts
         # into the A/B lever; --full-discovery is accepted as a no-op for

@@ -32,7 +32,11 @@ CPUSET_16 = "0,2,4,6,8,10,12,14,16,18,20,22,24,26,28,30"
 def run_leg(parts: int, targs: list[str]) -> dict:
     cmd = [
         "taskset", "-c", CPUSET_16,
-        sys.executable, str(REPO / "tools" / "measure_merge_scale.py"), *targs,
+        sys.executable, str(REPO / "tools" / "measure_merge_scale.py"),
+        *targs,
+        # pin the session conf as THE axis — don't let the in-fixpoint
+        # data-scaled policy override the leg's partition count
+        "--no-round-parts",
     ]
     env = dict(
         os.environ,
