@@ -474,6 +474,33 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("id_a", "id_b", _micros(F.col("jaccard")).alias("jaccard_micros"))
 
 
+def q_minhash_join(spark, sf_dir):
+    """Cross-corpus near-dup join (dataops/dedup.minhash_join_pairs — the
+    decontamination primitive): documents split by doc_id parity stand in
+    for train (even) vs eval (odd); output = exact-Jaccard ≥ 0.6 pairs
+    with one id on each side. Exact-oracled by the same argument as
+    minhash_dedup: band entries are deterministic per text, so a true
+    pair bucketed together within-corpus is bucketed together across the
+    split — banding recall 1 within (pytest-pinned) ⇒ recall 1 across —
+    and verification is exact, so the output equals the cross-parity
+    subset of the all-pairs exact-Jaccard ≥ 0.6 set, which the oracle
+    computes in SQL. Emitted as (least, greatest) to match the oracle's
+    canonical orientation."""
+    from openie_spark.dataops.dedup import minhash_join_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    eval_df = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs = minhash_join_pairs(
+        train, eval_df, n_hashes=32, bands=8, jaccard_threshold=0.6
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        _micros(F.col("jaccard")).alias("jaccard_micros"),
+    )
+
+
 def q_neardup_components(spark, sf_dir):
     """Pairs→clusters closure (dataops/components.py): distributed
     connected components (alternating large-star/small-star, Kiveris et
@@ -588,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_batch": q_ann_ivf_batch,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_join": q_minhash_join,
         "neardup_components": q_neardup_components,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -947,6 +975,16 @@ def oracle_sql() -> dict[str, str]:
             WITH {neardup_pair_ctes}
             SELECT id_a, id_b, round(jaccard * 1e6)::BIGINT AS jaccard_micros
             FROM dup
+        """,
+        # - minhash_join: the cross-parity subset of the same exact pair
+        #   set (train = even ids, eval = odd ids) — deterministic band
+        #   entries make cross-corpus banding recall equal within-corpus
+        #   recall (= 1 here, pytest-pinned), and the verify is exact.
+        "minhash_join": f"""
+            WITH {neardup_pair_ctes}
+            SELECT id_a, id_b, round(jaccard * 1e6)::BIGINT AS jaccard_micros
+            FROM dup
+            WHERE (id_a % 2) <> (id_b % 2)
         """,
         # - neardup_components: transitive closure of the same exact
         #   near-dup pair set — component = min reachable id, computed in

@@ -248,6 +248,23 @@ def main() -> None:
         repeat=2,
         cooldown=45,
     )
+    # cross-corpus decontamination join (r6): even-id half as the training
+    # side, odd-id half as the eval side — both sides banded independently,
+    # candidates from one (band, band_hash) equi-join, exact verify.
+    from openie_spark.dataops.dedup import minhash_join_pairs
+
+    d_even = ddocs.filter(F.col("doc_id") % 2 == 0)
+    d_odd = ddocs.filter(F.col("doc_id") % 2 == 1)
+    bench(
+        "minhash_join",
+        lambda: force(
+            minhash_join_pairs(
+                d_even, d_odd, n_hashes=64, bands=8, jaccard_threshold=0.7
+            )
+        ),
+        repeat=2,
+        cooldown=15,
+    )
     # pairs→clusters closure (r5): connected components over the minhash
     # pair set via alternating large-star/small-star — the step that turns
     # candidate pairs into dedup survivor clusters. Pair generation is

@@ -210,6 +210,91 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_join_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Cross-corpus near-duplicate pairs — the DECONTAMINATION primitive
+    of a training-data pipeline: which docs in ``df_a`` (the training
+    set) are near-dups of docs in ``df_b`` (the eval/benchmark set).
+
+    Returns (id_a, id_b, jaccard) with id_a from df_a, id_b from df_b,
+    exact shingle Jaccard ≥ threshold. Same contract as minhash_lsh_pairs
+    restricted to cross pairs: band entries are deterministic per (text,
+    parameters) (see minhash_bands), so each side is banded independently
+    and candidates are one (band, band_hash) equi-join — never |A|×|B|.
+    The skew cap drops buckets exceeding ``max_bucket`` PER SIDE (a
+    boilerplate bucket is pathological whichever corpus it comes from);
+    verification is exact on the candidate set, so precision is 1 by
+    construction. At 100 TB: the eval side is typically tiny — its banded
+    table broadcasts and the training corpus is scanned once."""
+    ba = minhash_bands(
+        df_a, id_col, text_col, n_hashes, bands, shingle_n
+    ).select("band", "band_hash", F.col(id_col).alias("id_a"))
+    bb = minhash_bands(
+        df_b, id_col, text_col, n_hashes, bands, shingle_n
+    ).select("band", "band_hash", F.col(id_col).alias("id_b"))
+
+    def cap(df):
+        w = Window.partitionBy("band", "band_hash")
+        return df.withColumn("_bs", F.count(F.lit(1)).over(w)).filter(
+            F.col("_bs") <= max_bucket
+        ).drop("_bs")
+
+    cand = (
+        cap(ba)
+        .join(cap(bb), ["band", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh_a = df_a.join(
+        cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("id_a"),
+        word_shingles(text_col, shingle_n).alias("shs_a"),
+    )
+    sh_b = df_b.join(
+        cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("id_b"),
+        word_shingles(text_col, shingle_n).alias("shs_b"),
+    )
+    return (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("shs_a") + F.size("shs_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **join_kwargs,
+) -> DataFrame:
+    """Drop every training doc that near-duplicates an eval/benchmark doc
+    (the standard leakage guard before pretraining). One anti-join against
+    the contaminated-id set from :func:`minhash_join_pairs`."""
+    pairs = minhash_join_pairs(train, eval_df, id_col, text_col, **join_kwargs)
+    contaminated = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return train.join(contaminated, id_col, "left_anti")
+
+
 def verify_jaccard(
     df: DataFrame,
     pairs: DataFrame,

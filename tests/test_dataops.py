@@ -673,6 +673,58 @@ def test_connected_components_checkpoint_runs_isolated(spark, tmp_path):
         assert "stages" not in entries, "stage tables are GC'd"
 
 
+def test_minhash_join_and_decontaminate(spark):
+    """Cross-corpus near-dup join (the decontamination primitive): planted
+    near-dups ACROSS the train/eval split are found with exact Jaccard,
+    within-corpus dups are NOT emitted, and decontaminate() drops exactly
+    the contaminated train docs. Cross-subset property: the cross pairs
+    must equal minhash_lsh_pairs over the union, restricted to opposite
+    sides (deterministic band entries ⇒ identical bucketing)."""
+    from openie_spark.dataops.dedup import (
+        decontaminate,
+        minhash_join_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    inner = "duplicate training text about databases and query optimization engines"
+    train_rows = [
+        (0, base),                              # J=0.846 vs eval 101
+        (2, "totally unrelated training text about spark and parquet files"),
+        (4, base.replace("today", "tonight")),  # exact text of eval 101
+        (6, "another clean training document mentioning graphs only"),
+        (8, inner),                             # near-dups WITHIN train only
+        (10, inner + " x"),
+    ]
+    eval_rows = [
+        (101, base.replace("today", "tonight")),
+        (103, "benchmark question with no overlap whatsoever in tokens"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    params = dict(n_hashes=32, bands=8, jaccard_threshold=0.6)
+    pairs = minhash_join_pairs(train, eval_df, **params)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # id_a always from train, id_b always from eval
+    assert all(a % 2 == 0 and b >= 101 for a, b in got)
+    assert (0, 101) in got and (4, 101) in got
+    # within-train dups (8, 10) must NOT appear
+    assert not any(a in (8, 10) or b in (8, 10) for a, b in got)
+
+    # cross-subset equality vs the union operator
+    union_pairs = minhash_lsh_pairs(train.unionByName(eval_df), **params)
+    want_cross = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in union_pairs.collect()
+        if (r["id_a"] >= 101) != (r["id_b"] >= 101)
+    }
+    assert {(min(a, b), max(a, b)) for a, b in got} == want_cross
+
+    clean = decontaminate(train, eval_df, **params)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 6, 8, 10}
+
+
 def test_connected_components_failure_reclaims_run_dir(spark, tmp_path):
     """A mid-run failure (max_rounds exhausted) with checkpoint_dir set
     must not strand stage tables: the run dir is deleted in the failure
