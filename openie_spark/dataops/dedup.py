@@ -253,6 +253,10 @@ def minhash_join_pairs(
         .join(cap(bb), ["band", "band_hash"])
         .select("id_a", "id_b")
         .distinct()
+        # consumed three times (two id semi-joins + the final pair join):
+        # pin lazily so the banding join runs once, not thrice — same
+        # rationale and tradeoff as verify_jaccard's pairs cache
+        .cache()
     )
     sh_a = df_a.join(
         cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
