@@ -207,12 +207,47 @@ def bypass_and_drop(
     # per round (local-minima rate is 1/(deg+1)), needing ~70 rounds of
     # full-set grinding; with this filter the surviving core is thousands
     # of rows and drains in a handful of rounds (SCALE.md §8).
+    from pyspark.sql import Observation
+
+    _obs_rr = Observation("rr_size")
     rr = (
         tagged.filter(~src_kept & ~dst_kept)
         .select(F.col("src").alias("n"), F.col("dst").alias("m"), "label")
         .distinct()
+        .observe(_obs_rr, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
+    # Scope a data-scaled shuffle-partition count to the reach fixpoint +
+    # bypass rounds (r6, same evidence class as the merge fixpoint policy:
+    # 16-core 1M-node A/B, both orders — partitions=8 56.1/55.8s vs the
+    # 2x-cores default 68.8/62.2s bypass span, identical kept graph). The
+    # iterative stages grind the removed-adjacency set, whose size the rr
+    # checkpoint just observed for free; the final aggregation runs after
+    # the conf is restored. Conf restored in the finally below.
+    from .merge import suggest_round_shuffle_partitions
+
+    n_rr = int(_obs_rr.get["n"])
+    _round_parts = suggest_round_shuffle_partitions(spark, n_rr)
+    _prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if str(_round_parts) != _prior_parts:
+        spark.conf.set("spark.sql.shuffle.partitions", str(_round_parts))
+    else:
+        _prior_parts = None
+
+    try:
+        return _bypass_rounds(
+            nodes, keep_df, k_src, k_dst, tagged, rr,
+            src_kept, dst_kept, edges.columns, max_rounds, stats,
+        )
+    finally:
+        if _prior_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", _prior_parts)
+
+
+def _bypass_rounds(
+    nodes, keep_df, k_src, k_dst, tagged, rr,
+    src_kept, dst_kept, edge_cols, max_rounds, stats,
+):
 
     def _reach(seed: DataFrame, edges_nm: DataFrame, iters: int):
         """Fixpoint of (node,label) pairs reachable from seed along
@@ -295,9 +330,9 @@ def bypass_and_drop(
     # aggregates (sum/min/distinct-union) just happen later for parked rows.
     # At web scale with entities_limit ≪ |V| this turns 50 full-edge-set
     # aggregations into 50 shrinking ones plus one final merge.
-    done_parts = [surviving.filter(src_kept & dst_kept).select(edges.columns)]
+    done_parts = [surviving.filter(src_kept & dst_kept).select(edge_cols)]
     cur_edges = (
-        surviving.filter(~(src_kept & dst_kept)).select(edges.columns)
+        surviving.filter(~(src_kept & dst_kept)).select(edge_cols)
     )
 
     def finalize(parts) -> DataFrame:
@@ -453,9 +488,9 @@ def bypass_and_drop(
             .localCheckpoint(eager=True)
         )
         done_parts.append(
-            merged.filter(src_kept & dst_kept).select(edges.columns)
+            merged.filter(src_kept & dst_kept).select(edge_cols)
         )
-        cur_edges = merged.filter(~(src_kept & dst_kept)).select(edges.columns)
+        cur_edges = merged.filter(~(src_kept & dst_kept)).select(edge_cols)
         in_play_known = int(obs.get["in_play"] or 0)
         if debug:
             import sys as _sys
