@@ -98,10 +98,11 @@ class MergeConfig:
     # at 1M nodes / 3M edges (BENCH/shuffle_parts_ab.json): 8 partitions
     # 83.1/82.3s vs 32 partitions 90.9/87.8s wall, identical CPU and exact
     # merge counts — confirming the MERGE_TOPK_SCALING.md hypothesis that
-    # 2×-cores partitioning taxes second-long rounds ~7%. None → auto:
-    # rows/250k clamped to [8, 2×cores] when the graph size is known (the
-    # local-threshold dispatch already counts it); explicit int pins it
-    # (the scale tools pass their known graph size through this).
+    # 2×-cores partitioning taxes second-long rounds ~7% (25% at 32 cores:
+    # 76.4s vs 103.6s at 1M rows). None → auto: rows/250k clamped to
+    # [8, 2×cores] (counts reused from the local-threshold dispatch, or
+    # one count pair on the forced-distributed path); explicit int pins
+    # it; 0 disables the policy (session conf untouched — the A/B lever).
     round_shuffle_partitions: Optional[int] = None
 
 
@@ -723,15 +724,27 @@ def merge_fixpoint(
         local_threshold = LOCAL_FIXPOINT_THRESHOLD
     spark = nodes.sparkSession
     round_parts = cfg.round_shuffle_partitions
+    n_count = e_count = None
     if local_threshold > 0:
         n_count = nodes.count()
         e_count = edges.count()
         if n_count + e_count <= local_threshold:
             return _merge_fixpoint_via_driver(nodes, edges, cfg)
-        if round_parts is None:
-            round_parts = suggest_round_shuffle_partitions(
-                spark, n_count + e_count
-            )
+    if round_parts is None:
+        # auto policy needs the graph size; on the forced-distributed path
+        # (local_threshold=0) count once — two cheap jobs over the usually
+        # checkpointed aggregated graph buying the measured 15-25%
+        # round-partition win (76.4s vs 103.6s at 1M rows / 32 cores,
+        # BENCH/shuffle_parts_ab.json + 3-way leg). round_shuffle_
+        # partitions=0 disables the policy (session conf untouched).
+        if n_count is None:
+            n_count = nodes.count()
+            e_count = edges.count()
+        round_parts = suggest_round_shuffle_partitions(
+            spark, n_count + e_count
+        )
+    elif round_parts == 0:
+        round_parts = None
     seq = iter(range(10_000))
     run_dir = None
     if cfg.checkpoint_dir is not None:

@@ -124,12 +124,11 @@ def main() -> None:
     cfg = MergeConfig(
         dim=8,
         checkpoint_dir=ckpt_dir,
-        # local_threshold=0 skips the counting dispatch, so pass the known
-        # graph size through the r6 data-scaled round-partition policy
-        # (disable with --no-round-parts for A/B legs pinning the session
-        # default)
+        # pass the known graph size through the r6 data-scaled
+        # round-partition policy; --no-round-parts DISABLES it (0) so A/B
+        # legs can pin the session conf as the axis
         round_shuffle_partitions=(
-            None
+            0
             if "--no-round-parts" in sys.argv
             else suggest_round_shuffle_partitions(spark, n_nodes + n_edges)
         ),
