@@ -586,6 +586,38 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """As-of join (dataops/asof.py): every click matched to the latest
+    at-or-before view of the same user — the union+window shape (one
+    shuffle on user_id, NO join node in the plan, plan-tested) vs the
+    range-join blowup a naive as-of costs at scale. Right side is
+    pre-deduplicated per (user_id, ts) (max event_id carries its value)
+    so tie semantics are unambiguous; the oracle is DuckDB's NATIVE
+    ASOF LEFT JOIN over the identically deduped side — an independent
+    implementation of the same inclusive backward-match semantics."""
+    from openie_spark.dataops.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("view_event_id"),
+            F.expr("max_by(value, event_id)").alias("view_value"),
+        )
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select(
+        "event_id",
+        F.col("asof_view_event_id").alias("view_event_id"),
+        _micros(F.col("asof_view_value")).alias("view_value_micros"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
+        .cast("bigint")
+        .alias("lag_s"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -622,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "events_top_event": q_events_top_event,
         "events_rollup": q_events_rollup,
+        "events_asof": q_events_asof,
     }
 
 
@@ -947,6 +980,25 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    round(sum(value) * 1e6)::BIGINT AS value_micros
             FROM events GROUP BY event_type
+        """,
+        # - events_asof: DuckDB's NATIVE ASOF LEFT JOIN — an independent
+        #   implementation of the inclusive backward as-of match — over
+        #   the identically deduped view side. Spark computes it with the
+        #   union+window shape (no join node); full value equality incl.
+        #   NULL payloads for clicks with no prior view.
+        "events_asof": """
+            WITH l AS (SELECT * FROM events WHERE event_type = 'click'),
+            r AS (
+              SELECT user_id, ts, max(event_id) AS view_event_id,
+                     max_by(value, event_id) AS view_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT l.event_id,
+                   r.view_event_id,
+                   round(r.view_value * 1e6)::BIGINT AS view_value_micros,
+                   date_diff('second', r.ts, l.ts)::BIGINT AS lag_s
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # The three formerly-gray approximate queries, now exact-oracled
         # (see each query's docstring for why equality holds):

@@ -826,3 +826,69 @@ def test_update_components_equals_batch(spark):
             for r in connected_components(mk(b1 + b2)).collect()
         }
         assert inc == batch, f"case {case}"
+
+
+def test_asof_join_directions_tolerance_and_plan(spark):
+    """asof_join (union+window shape): backward/forward inclusive match,
+    tolerance nulling, left-outer unmatched rows, multi-column by keys —
+    verified against a brute-force per-row argmin — and the plan must
+    contain NO join node (the whole point vs a range join) and no
+    cartesian."""
+    import itertools
+
+    from openie_spark.dataops.asof import asof_join
+
+    left_rows = [
+        (u, g, t * 10, f"L{u}{g}{t}")
+        for u, g, t in itertools.product((1, 2), ("a", "b"), range(5))
+    ]
+    right_rows = [
+        (u, g, t * 10 + d, t * 100 + d)
+        for u, g, t in itertools.product((1, 2), ("a", "b"), range(0, 5, 2))
+        for d in (0, 3)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "u long, g string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        right_rows, "u long, g string, ts long, payload long"
+    )
+
+    def brute(direction, tolerance=None):
+        want = {}
+        for u, g, ts, tag in left_rows:
+            cands = [
+                (rts, p)
+                for (ru, rg, rts, p) in right_rows
+                if (ru, rg) == (u, g)
+                and (rts <= ts if direction == "backward" else rts >= ts)
+            ]
+            if cands:
+                m = (
+                    max(cands)
+                    if direction == "backward"
+                    else min(cands)
+                )
+                if tolerance is not None and abs(m[0] - ts) > tolerance:
+                    m = (None, None)
+            else:
+                m = (None, None)
+            want[(u, g, ts)] = m
+        return want
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 2):
+            out = asof_join(
+                left, right, on="ts", by=["u", "g"],
+                direction=direction, tolerance=tol,
+            )
+            got = {
+                (r["u"], r["g"], r["ts"]): (r["asof_ts"], r["asof_payload"])
+                for r in out.collect()
+            }
+            assert got == brute(direction, tol), (direction, tol)
+
+    plan = asof_join(left, right, on="ts", by=["u", "g"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
