@@ -618,6 +618,27 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Sessionization rollup (dataops/sessions.py): per-user gaps-and-
+    islands with a 30-minute timeout — lag + running break-sum in ONE
+    shuffle on user_id (the session groupBy reuses the window's
+    partitioning, no second exchange), microsecond-exact arithmetic, ties
+    broken by event_id. Oracle: the same deterministic definition in
+    DuckDB window SQL — full value equality."""
+    from openie_spark.dataops.sessions import session_rollup
+
+    ev = _read(spark, sf_dir, "events")
+    out = session_rollup(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_seq",
+        "n_events",
+        "start_us",
+        "end_us",
+        _micros(F.col("value_sum")).alias("value_micros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -655,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_event": q_events_top_event,
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -980,6 +1002,30 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    round(sum(value) * 1e6)::BIGINT AS value_micros
             FROM events GROUP BY event_type
+        """,
+        # - events_sessions: gaps-and-islands sessionization, identical
+        #   deterministic definition (lag + running break-sum, ties on
+        #   event_id, microsecond arithmetic) in DuckDB window SQL.
+        "events_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800 * 1000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s2 AS (
+              SELECT *, sum(brk) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING
+              ) AS session_seq FROM s
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   round(sum(value) * 1e6)::BIGINT AS value_micros
+            FROM s2 GROUP BY user_id, session_seq
         """,
         # - events_asof: DuckDB's NATIVE ASOF LEFT JOIN — an independent
         #   implementation of the inclusive backward as-of match — over

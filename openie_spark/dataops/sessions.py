@@ -1,0 +1,91 @@
+"""Sessionization — gaps-and-islands over an event stream.
+
+Batch (:func:`sessionize` / :func:`session_rollup`): one window per user
+(lag + running sum of gap-breaks), a single shuffle on the user key —
+the standard scalable shape; session numbering is deterministic
+(order by ts, then event id on timestamp ties).
+
+Streaming (:func:`stream_session_rollup`): Spark's native
+``session_window`` with a watermark — state is bounded by (watermark ×
+active users), sessions close when the gap passes, and over any closed
+input the emitted sessions EQUAL the batch rollup (pinned by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Tag every event with its per-user ``session_seq`` (1-based): a new
+    session starts when the gap since the user's previous event exceeds
+    ``gap_seconds``. Microsecond-exact arithmetic (``unix_micros``), ties
+    on ts broken by event id — deterministic and oracle-matchable."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    brk = F.when(
+        prev.isNull() | (us - prev > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_seq",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-session aggregate: (user, session_seq, n_events, start/end in
+    epoch micros, summed value). One extra groupBy on (user, session) —
+    already co-partitioned by the sessionize window's shuffle, so Catalyst
+    plans it without a second exchange."""
+    s = sessionize(events, user_col, ts_col, id_col, gap_seconds)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return s.groupBy(user_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("end_us"),
+        F.sum(value_col).alias("value_sum"),
+    )
+
+
+def stream_session_rollup(
+    events_stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessions via native ``session_window`` (dynamic-gap state
+    merged by the engine, bounded by the watermark): emits one row per
+    closed session with the same (n_events, start, value sum) the batch
+    rollup computes over a closed input — equality pinned in tests. The
+    session END differs by design: session_window's window end is
+    last_event + gap, so the batch ``end_us`` (last event time) is
+    recoverable as ``max_ts_us``."""
+    ws = events_stream.withWatermark(ts_col, watermark)
+    return ws.groupBy(
+        F.col(user_col),
+        F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("start_us"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("max_ts_us"),
+        F.sum(value_col).alias("value_sum"),
+    )

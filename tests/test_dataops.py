@@ -892,3 +892,112 @@ def test_asof_join_directions_tolerance_and_plan(spark):
     ).executedPlan().toString()
     assert "Join" not in plan, plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_sessionize_planted_gaps_and_plan(spark):
+    """sessionize: planted gaps split sessions exactly at the timeout
+    (strictly-greater-than semantics), ties on ts break by event_id, and
+    the rollup's (user, session) groupBy reuses the window shuffle — the
+    executed plan has exactly ONE Exchange."""
+    from openie_spark.dataops.sessions import session_rollup, sessionize
+
+    rows = [
+        # user 1: events at 0s, 10s, 1810s (gap 1800 exactly -> SAME
+        # session: the break is strictly >), 3700s (gap 1890 -> new)
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:00:10", 2.0),
+        (3, 1, "2024-01-01 00:30:10", 4.0),
+        (4, 1, "2024-01-01 01:01:40", 8.0),
+        # user 2: single event
+        (5, 2, "2024-01-01 00:00:00", 16.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {
+        (r["user_id"], r["event_id"]): r["session_seq"]
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 1, (1, 4): 2, (2, 5): 1}
+
+    roll = session_rollup(ev, gap_seconds=1800)
+    agg = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["value_sum"])
+        for r in roll.collect()
+    }
+    assert agg == {(1, 1): (3, 7.0), (1, 2): (1, 8.0), (2, 1): (1, 16.0)}
+
+    # count exchanges in the FINAL plan only (AQE's toString repeats the
+    # initial plan below it)
+    plan = roll._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final[:2000]
+
+
+def test_stream_sessions_equal_batch(spark, tmp_path):
+    """stream_session_rollup (native session_window + watermark) over a
+    closed multi-file input must emit exactly the batch session_rollup
+    sessions: same (user, start, n_events, last-event ts, value sum)."""
+    from openie_spark.dataops.sessions import (
+        session_rollup,
+        stream_session_rollup,
+    )
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:10:00", 2.0),
+        (3, 2, "2024-01-01 00:05:00", 4.0),
+        (4, 1, "2024-01-01 02:00:00", 8.0),     # new session (gap 110m)
+        (5, 2, "2024-01-01 02:30:00", 16.0),    # new session
+        (6, 2, "2024-01-01 02:40:00", 32.0),
+    ]
+    # a session only EMITS once the watermark passes its end — over a
+    # closed input the last sessions need later data to flush them, so a
+    # far-future sentinel event (user -1, excluded from comparison) rides
+    # in a final drop. This is the operational reality of event-time
+    # streaming, not a workaround: an open stream always has later data.
+    sentinel = [(99, -1, "2024-01-02 00:00:00", 0.0)]
+    src = tmp_path / "ev"
+    for i, chunk in enumerate((rows[:3], rows[3:], sentinel)):
+        spark.createDataFrame(
+            chunk, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(str(src / f"p{i}"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = tmp_path / "out"
+    q = (
+        stream_session_rollup(stream, gap_seconds=1800, watermark="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], r["start_us"], r["n_events"], r["max_ts_us"],
+         r["value_sum"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] >= 0
+    }
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], r["start_us"], r["n_events"], r["end_us"],
+         r["value_sum"])
+        for r in session_rollup(batch, gap_seconds=1800).collect()
+    }
+    assert got == want
+    assert len(got) == 4  # two sessions per user
