@@ -44,6 +44,14 @@ def _micros(col: F.Column) -> F.Column:
     return F.round(col * 1e6).cast("bigint")
 
 
+def _sampling_thr(rate: float) -> str:
+    """The hash_sample decision threshold, shared with the oracle SQL so
+    both engines compare against byte-identical literals."""
+    from openie_spark.dataops.sampling import _hex_threshold
+
+    return _hex_threshold(rate)
+
+
 # ---------------------------------------------------------------------------
 # flagship KG pipeline
 # ---------------------------------------------------------------------------
@@ -639,6 +647,28 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic stratified sampling (dataops/sampling.py): keep 100%
+    of src0, 40% of src1, 10% of everything else, decided purely by
+    md5(salt || doc_id)'s first 8 hex digits vs the rate threshold —
+    reproducible across partitionings, engines, and runs (df.sample is
+    none of those). Oracle: the identical md5 expression in DuckDB —
+    full row-set equality, plus n_chars carried through to prove rows,
+    not just ids, survive."""
+    from openie_spark.dataops.sampling import stratified_hash_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.4},
+        stratum_col="source",
+        key_col="doc_id",
+        salt="r6",
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -677,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
         "events_sessions": q_events_sessions,
+        "hash_sample": q_hash_sample,
     }
 
 
@@ -1026,6 +1057,21 @@ def oracle_sql() -> dict[str, str]:
                    min(us) AS start_us, max(us) AS end_us,
                    round(sum(value) * 1e6)::BIGINT AS value_micros
             FROM s2 GROUP BY user_id, session_seq
+        """,
+        # - hash_sample: the identical md5-bucket decision in DuckDB —
+        #   deterministic sampling must reproduce the exact row set on
+        #   any engine, which is the operator's whole contract. Threshold
+        #   literals come from the operator's own _hex_threshold so the
+        #   truncation arithmetic cannot drift between the two engines.
+        "hash_sample": f"""
+            SELECT doc_id, source, n_chars
+            FROM documents
+            WHERE substr(md5('r6' || doc_id::VARCHAR), 1, 8) <
+                  CASE source
+                    WHEN 'src0' THEN '{_sampling_thr(1.0)}'
+                    WHEN 'src1' THEN '{_sampling_thr(0.4)}'
+                    ELSE '{_sampling_thr(0.1)}'
+                  END
         """,
         # - events_asof: DuckDB's NATIVE ASOF LEFT JOIN — an independent
         #   implementation of the inclusive backward as-of match — over

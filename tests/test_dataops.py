@@ -1001,3 +1001,45 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 4  # two sessions per user
+
+
+def test_hash_sample_deterministic_nested_stratified(spark):
+    """hash_sample: partition-layout-independent (repartition → identical
+    rows), nested (higher rate ⊇ lower rate at the same salt), salt-
+    independent, rate≈fraction; stratified_hash_sample applies per-stratum
+    rates with default_rate None keeping unlisted strata whole."""
+    from openie_spark.dataops.sampling import hash_sample, stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "s1" if i % 2 == 0 else "s2") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    ids = lambda d: {r["doc_id"] for r in d.collect()}
+
+    s10 = ids(hash_sample(df, 0.1, salt="a"))
+    s10_rep = ids(hash_sample(df.repartition(17), 0.1, salt="a"))
+    assert s10 == s10_rep, "partition layout changed the sample"
+    assert 0.05 < len(s10) / 2000 < 0.16
+
+    s30 = ids(hash_sample(df, 0.3, salt="a"))
+    assert s10 <= s30, "samples must nest as the rate grows"
+
+    s10b = ids(hash_sample(df, 0.1, salt="b"))
+    assert s10 != s10b, "different salts must give different samples"
+    assert ids(hash_sample(df, 1.0)) == set(range(2000))
+    assert ids(hash_sample(df, 0.0)) == set()
+
+    strat = stratified_hash_sample(
+        df, rates={"s1": 1.0, "s2": 0.2}, stratum_col="source"
+    )
+    got = {r["doc_id"] for r in strat.collect()}
+    assert {i for i in range(2000) if i % 2 == 0} <= got
+    s2_kept = {i for i in got if i % 2 == 1}
+    assert 0.1 < len(s2_kept) / 1000 < 0.3
+    # default_rate=None keeps unlisted strata whole
+    all_s2 = stratified_hash_sample(
+        df, rates={"s1": 0.5}, stratum_col="source", default_rate=None
+    )
+    assert {i for i in range(2000) if i % 2 == 1} <= {
+        r["doc_id"] for r in all_s2.collect()
+    }
