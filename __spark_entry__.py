@@ -44,6 +44,18 @@ def _micros(col: F.Column) -> F.Column:
     return F.round(col * 1e6).cast("bigint")
 
 
+def _sum_micros(col_name: str) -> F.Column:
+    """Order-independent micro-unit sum: convert each double to bigint
+    micros PER ROW, then sum integers. ``round(sum(double)*1e6)`` is NOT
+    partition-order-stable (IEEE addition isn't associative — a last-ulp
+    difference between Spark's partial-agg order and DuckDB's scan order
+    flips the rounding on any group whose sum sits on a .5 micro
+    boundary); integer addition is associative, so this form hashes
+    identically under ANY partition layout. Mirrored in the oracle SQL as
+    ``sum(round(x*1e6)::BIGINT)::BIGINT``."""
+    return F.sum(F.round(F.col(col_name) * 1e6).cast("bigint"))
+
+
 def _sampling_thr(rate: float) -> str:
     """The hash_sample decision threshold, shared with the oracle SQL so
     both engines compare against byte-identical literals."""
@@ -267,7 +279,7 @@ def q_node_aggregate(spark, sf_dir):
     orders = _read(spark, sf_dir, "orders")
     return orders.groupBy(F.col("o_custkey").alias("node_key")).agg(
         F.count(F.lit(1)).alias("weight"),
-        _micros(F.sum("o_totalprice")).alias("total_micros"),
+        _sum_micros("o_totalprice").alias("total_micros"),
         F.min("o_orderdate").cast("date").cast("string").alias("first_seen"),
     )
 
@@ -279,7 +291,7 @@ def q_edge_aggregate(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     ).agg(
         F.count(F.lit(1)).alias("weight"),
-        _micros(F.sum("l_quantity")).alias("qty_micros"),
+        _sum_micros("l_quantity").alias("qty_micros"),
     )
 
 
@@ -590,7 +602,7 @@ def q_events_rollup(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        _micros(F.sum("value")).alias("value_micros"),
+        _sum_micros("value").alias("value_micros"),
     )
 
 
@@ -632,18 +644,23 @@ def q_events_sessions(spark, sf_dir):
     shuffle on user_id (the session groupBy reuses the window's
     partitioning, no second exchange), microsecond-exact arithmetic, ties
     broken by event_id. Oracle: the same deterministic definition in
-    DuckDB window SQL — full value equality."""
+    DuckDB window SQL — full value equality. The session value is summed
+    as PER-ROW bigint micros (see _sum_micros) so the hash is stable
+    under any partition layout — round(sum(double)) was the one r6
+    driver-environment hash flip."""
     from openie_spark.dataops.sessions import session_rollup
 
-    ev = _read(spark, sf_dir, "events")
-    out = session_rollup(ev, gap_seconds=1800)
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_us", F.round(F.col("value") * 1e6).cast("bigint")
+    )
+    out = session_rollup(ev, gap_seconds=1800, value_col="value_us")
     return out.select(
         "user_id",
         "session_seq",
         "n_events",
         "start_us",
         "end_us",
-        _micros(F.col("value_sum")).alias("value_micros"),
+        F.col("value_sum").cast("bigint").alias("value_micros"),
     )
 
 
@@ -915,14 +932,14 @@ def oracle_sql() -> dict[str, str]:
         "node_aggregate": """
             SELECT o_custkey AS node_key,
                    count(*) AS weight,
-                   round(sum(o_totalprice) * 1e6)::BIGINT AS total_micros,
+                   sum(round(o_totalprice * 1e6)::BIGINT)::BIGINT AS total_micros,
                    strftime(min(o_orderdate), '%Y-%m-%d') AS first_seen
             FROM orders GROUP BY o_custkey
         """,
         "edge_aggregate": """
             SELECT l_suppkey AS src, l_partkey AS dst,
                    count(*) AS weight,
-                   round(sum(l_quantity) * 1e6)::BIGINT AS qty_micros
+                   sum(round(l_quantity * 1e6)::BIGINT)::BIGINT AS qty_micros
             FROM lineitem GROUP BY l_suppkey, l_partkey
         """,
         "degrees": """
@@ -1031,12 +1048,15 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": """
             SELECT event_type, count(*) AS n_events,
                    count(DISTINCT user_id) AS n_users,
-                   round(sum(value) * 1e6)::BIGINT AS value_micros
+                   sum(round(value * 1e6)::BIGINT)::BIGINT AS value_micros
             FROM events GROUP BY event_type
         """,
         # - events_sessions: gaps-and-islands sessionization, identical
         #   deterministic definition (lag + running break-sum, ties on
-        #   event_id, microsecond arithmetic) in DuckDB window SQL.
+        #   event_id, microsecond arithmetic) in DuckDB window SQL. The
+        #   value sum is per-row bigint micros on BOTH sides (integer
+        #   addition is associative — the hash cannot drift with
+        #   partition layout, unlike round(sum(double))).
         "events_sessions": """
             WITH s AS (
               SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
@@ -1055,7 +1075,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, session_seq, count(*) AS n_events,
                    min(us) AS start_us, max(us) AS end_us,
-                   round(sum(value) * 1e6)::BIGINT AS value_micros
+                   sum(round(value * 1e6)::BIGINT)::BIGINT AS value_micros
             FROM s2 GROUP BY user_id, session_seq
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —

@@ -220,6 +220,7 @@ def minhash_join_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket: int = 200,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Cross-corpus near-duplicate pairs — the DECONTAMINATION primitive
     of a training-data pipeline: which docs in ``df_a`` (the training
@@ -253,11 +254,22 @@ def minhash_join_pairs(
         .join(cap(bb), ["band", "band_hash"])
         .select("id_a", "id_b")
         .distinct()
-        # consumed three times (two id semi-joins + the final pair join):
-        # pin lazily so the banding join runs once, not thrice — same
-        # rationale and tradeoff as verify_jaccard's pairs cache
-        .cache()
     )
+    # consumed three times (two id semi-joins + the final pair join): pin
+    # so the banding join runs once, not thrice — same rationale and
+    # tradeoff as verify_jaccard's pairs cache. With checkpoint_dir the
+    # pin is a durable per-call parquet snapshot (gc_join_pairs reclaims
+    # it) — the loop-safe choice: cache() leaves blocks pinned until the
+    # returned plan is dropped, so repeated decontamination calls in one
+    # long session would otherwise accumulate cached candidate sets.
+    if checkpoint_dir is not None:
+        import uuid as _uuid
+
+        path = f"{checkpoint_dir}/join_pairs/run_{_uuid.uuid4().hex[:12]}"
+        cand.write.mode("overwrite").parquet(path)
+        cand = df_a.sparkSession.read.parquet(path)
+    else:
+        cand = cand.cache()
     sh_a = df_a.join(
         cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
     ).select(
@@ -386,6 +398,15 @@ def verify_jaccard(
     if method != "explode":
         raise ValueError(f"unknown verify method: {method!r}")
     return _verify_jaccard_explode(df, pairs, id_col, text_col, shingle_n)
+
+
+def gc_join_pairs(spark, checkpoint_dir: str, keep: int = 1) -> int:
+    """Garbage-collect old minhash_join_pairs candidate snapshots under
+    ``{checkpoint_dir}/join_pairs`` (one per call when checkpoint_dir is
+    passed), keeping the ``keep`` most recent. Returns dirs removed."""
+    from ..fsgc import gc_child_dirs
+
+    return gc_child_dirs(spark, f"{checkpoint_dir}/join_pairs", keep)
 
 
 def gc_verify_pairs(spark, checkpoint_dir: str, keep: int = 1) -> int:

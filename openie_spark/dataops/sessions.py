@@ -78,7 +78,15 @@ def stream_session_rollup(
     rollup computes over a closed input — equality pinned in tests. The
     session END differs by design: session_window's window end is
     last_event + gap, so the batch ``end_us`` (last event time) is
-    recoverable as ``max_ts_us``."""
+    recoverable as ``max_ts_us``.
+
+    Late data (both pinned in test_dataops): an event inside the
+    watermark is folded into session state — including merging two
+    provisionally-separate sessions it bridges — so the flushed session
+    still equals the batch rollup; an event beyond the watermark is
+    DROPPED (the engine applies the watermark with a one-trigger lag),
+    which is the one documented divergence from the batch path — size
+    ``watermark`` to the pipeline's real lateness tolerance."""
     ws = events_stream.withWatermark(ts_col, watermark)
     return ws.groupBy(
         F.col(user_col),

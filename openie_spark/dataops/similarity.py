@@ -289,18 +289,19 @@ def ivf_query_batch(
     @F.pandas_udf(ArrayType(IntegerType()))
     def nearest_cells(vecs: pd.Series) -> pd.Series:
         C = b_cent.value
-        M = np.array([np.asarray(v, dtype=np.float64) for v in vecs.tolist()])
-        if M.size == 0:
-            return pd.Series([], dtype=object)
-        # squared euclidean: ||c||^2 - 2 p.c + ||p||^2 (same ordering and
-        # tie-layout as ivf_query's per-probe ((C - p)**2).sum argsort)
-        d = (
-            (C * C).sum(axis=1)[None, :]
-            - 2.0 * (M @ C.T)
-            + (M * M).sum(axis=1)[:, None]
-        )
-        order = np.argsort(d, axis=1)[:, :np_]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        # Per-row ((C - p)**2).sum — the SAME float expression, in the
+        # same operation order, as ivf_query's driver-side assignment, so
+        # near-tied cells rank and tie-break identically on both paths
+        # (the expanded ||c||²-2p·c+||p||² matmul form is not bitwise
+        # equal in IEEE arithmetic and can flip an argsort on ties).
+        # Still vectorized: each row is one (n_cells × dim) numpy
+        # broadcast; Arrow batches are ≤10k rows, C is tiny.
+        out = []
+        for v in vecs.tolist():
+            p = np.asarray(v, dtype=np.float64)
+            d = ((C - p) ** 2).sum(axis=1)
+            out.append(np.argsort(d)[:np_].astype("int32").tolist())
+        return pd.Series(out, dtype=object)
 
     exploded = probe_df.withColumn(
         "cell", F.explode(nearest_cells(F.col("probe_vec")))

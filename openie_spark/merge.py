@@ -39,6 +39,8 @@ join (the north star's "broadcast dictionary join").
 
 from __future__ import annotations
 
+import threading
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -114,6 +116,52 @@ def suggest_round_shuffle_partitions(
     split), capped at the session shape (2× defaultParallelism)."""
     cores = spark.sparkContext.defaultParallelism
     return int(max(8, min(2 * cores, total_rows // rows_per_partition or 1)))
+
+
+_CONF_SCOPE_LOCK = threading.Lock()
+_CONF_SCOPE_DEPTH: dict = {}      # id(session) -> nesting depth
+_CONF_SCOPE_BASELINE: dict = {}   # id(session) -> pre-scope conf value
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, parts: Optional[int]):
+    """Set ``spark.sql.shuffle.partitions`` for a fixpoint's rounds and
+    restore it afterwards — RACE-SAFE under concurrent fixpoints in one
+    session. Session conf is the only per-query lever Spark exposes for
+    the shuffle-partition count, so the set/restore pair must be guarded:
+    with naive try/finally, two interleaved scopes can restore in the
+    wrong order and leave the conf permanently drifted. This guard
+    refcounts per session under a module lock and restores the FIRST
+    entrant's baseline only when the LAST scope exits, so the conf always
+    returns to its pre-scope value. Residual (documented) hazard: while
+    any scope is open, concurrent scopes and unrelated queries in the
+    same session run under the most recently set count — acceptable for
+    a batch pipeline stage; embedders running latency-sensitive
+    concurrent SQL should disable the policy (round_shuffle_partitions=0).
+    ``parts=None`` is a no-op scope."""
+    if parts is None:
+        yield
+        return
+    key = id(spark)
+    with _CONF_SCOPE_LOCK:
+        depth = _CONF_SCOPE_DEPTH.get(key, 0)
+        if depth == 0:
+            _CONF_SCOPE_BASELINE[key] = spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            )
+        _CONF_SCOPE_DEPTH[key] = depth + 1
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        with _CONF_SCOPE_LOCK:
+            _CONF_SCOPE_DEPTH[key] -= 1
+            if _CONF_SCOPE_DEPTH[key] == 0:
+                del _CONF_SCOPE_DEPTH[key]
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions",
+                    _CONF_SCOPE_BASELINE.pop(key),
+                )
 
 
 def _dot(u: F.Column, v: F.Column) -> F.Column:
@@ -774,21 +822,13 @@ def merge_fixpoint(
     # every round's shuffles run while the conf is set (ckpt materializes
     # each round eagerly, and the finals below are parquet/checkpoint-
     # materialized before restore, so nothing lazy escapes the scope).
-    # Session-global conf is the only per-query lever Spark exposes here;
-    # concurrent queries in the same session during a fixpoint would share
-    # it — acceptable for a batch pipeline stage, noted for embedders.
-    _prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if round_parts is not None and str(round_parts) != _prior_parts:
-        spark.conf.set("spark.sql.shuffle.partitions", str(round_parts))
-    else:
-        _prior_parts = None  # nothing to restore
-    try:
+    # scoped_shuffle_partitions makes the set/restore pair race-safe under
+    # concurrent fixpoints (refcounted baseline restore — see its docstring
+    # for the residual shared-value hazard and the opt-out).
+    with scoped_shuffle_partitions(spark, round_parts):
         return _merge_fixpoint_rounds(
             spark, nodes, edges, cfg, ckpt, run_dir, debug, _sys, _time
         )
-    finally:
-        if _prior_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", _prior_parts)
 
 
 def _merge_fixpoint_rounds(

@@ -464,7 +464,14 @@ def make_dedup_refresh(
             )
             .distinct()
         )
-        all_docs = spark.read.parquet(f"{state_dir}/docs")
+        # bounded to epoch <= current: stale future-epoch docs partitions
+        # (left behind by a run whose streaming checkpoint was reset) must
+        # not contribute candidates to this epoch's verify
+        all_docs = (
+            spark.read.parquet(f"{state_dir}/docs")
+            .filter(F.col("epoch") <= epoch)
+            .drop("epoch")
+        )
         pairs = verify_jaccard(
             all_docs, cand, id_col, text_col, shingle_n
         ).filter(F.col("jaccard") >= jaccard_threshold)
@@ -524,11 +531,24 @@ def read_dedup_survivors(
     """Open the latest complete dedup state as the surviving corpus:
     exact-unique docs minus near-dup cluster non-minima — the same
     contract as batch dataops.components.dedup_survivors. Returns None
-    when no version is complete yet."""
+    when no version is complete yet.
+
+    Consistent-snapshot guard: docs are epoch-partitioned, and an
+    in-flight or crashed epoch may have written its docs partition
+    without completing its v{N} state — reading ALL docs partitions
+    would surface those docs as survivors with no loser labels,
+    transiently leaking near-duplicates. The docs read is therefore
+    bounded to ``epoch <= cur`` (the latest COMPLETE version), the same
+    strictly-consistent cut the versioned state exists to provide; the
+    filter is a partition-prune, not a scan."""
     cur = _latest_state_version(spark, state_dir, tables=_DEDUP_STATE_TABLES)
     if cur is None:
         return None
-    docs = spark.read.parquet(f"{state_dir}/docs")
+    docs = (
+        spark.read.parquet(f"{state_dir}/docs")
+        .filter(F.col("epoch") <= cur)
+        .drop("epoch")
+    )
     labels = spark.read.parquet(f"{state_dir}/v{cur:08d}/labels")
     losers = labels.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)

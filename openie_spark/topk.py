@@ -223,25 +223,17 @@ def bypass_and_drop(
     # 2x-cores default 68.8/62.2s bypass span, identical kept graph). The
     # iterative stages grind the removed-adjacency set, whose size the rr
     # checkpoint just observed for free; the final aggregation runs after
-    # the conf is restored. Conf restored in the finally below.
-    from .merge import suggest_round_shuffle_partitions
+    # the conf is restored (race-safe scope — see scoped_shuffle_partitions).
+    from .merge import scoped_shuffle_partitions, suggest_round_shuffle_partitions
 
     n_rr = int(_obs_rr.get["n"])
     _round_parts = suggest_round_shuffle_partitions(spark, n_rr)
-    _prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    if str(_round_parts) != _prior_parts:
-        spark.conf.set("spark.sql.shuffle.partitions", str(_round_parts))
-    else:
-        _prior_parts = None
 
-    try:
+    with scoped_shuffle_partitions(spark, _round_parts):
         return _bypass_rounds(
             nodes, keep_df, k_src, k_dst, tagged, rr,
             src_kept, dst_kept, edges.columns, max_rounds, stats,
         )
-    finally:
-        if _prior_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", _prior_parts)
 
 
 def _bypass_rounds(
@@ -251,28 +243,61 @@ def _bypass_rounds(
 
     def _reach(seed: DataFrame, edges_nm: DataFrame, iters: int):
         """Fixpoint of (node,label) pairs reachable from seed along
-        edges_nm; None when not converged within `iters` (the caller then
-        falls back to the coarser label-level filter — chains longer than
-        `iters` are vanishingly rare outside synthetic fixtures)."""
+        edges_nm; None when not converged within `iters` BFS levels (the
+        caller then falls back to the coarser label-level filter — chains
+        longer than `iters` are vanishingly rare outside synthetic
+        fixtures).
+
+        Barrier coalescing (r7, VERDICT r6 item 7): each localCheckpoint
+        is a job barrier and the sandbox/scheduler fixed cost per job
+        dominates these thousands-of-rows stages — so TWO BFS levels are
+        expanded lazily per checkpoint (one barrier per pair instead of
+        the old two barriers per level = 4× fewer jobs), and the reach
+        set is kept as a lazy union of already-materialized checkpoint
+        parts (no re-checkpoint of the union per level). Correctness is
+        unchanged: hop2 expands from hop1 before the anti-join, the pair
+        is deduped against reach at the end, and the next frontier is the
+        pair's genuinely-new nodes (a revisit is removed by the next
+        anti-join). Convergence check stays free — observed on the pair's
+        checkpoint job.
+
+        Pair-count budget: iters//2 + 1 pairs, NOT ceil(iters/2) —
+        certifying convergence needs a pair that adds NOTHING, and a
+        reach that only empties at level `iters` exactly still has new
+        nodes in its ceil(iters/2)-th pair, so that budget returns None
+        where the per-level version converged (measured at 1M nodes /
+        3M edges: the off-by-one silently dropped the reach filter to
+        the label fallback and the rounds ground the full ~1M-row
+        removed set at ~15%/round instead of the pruned core — the whole
+        pre-filter's reason to exist)."""
         from pyspark.sql import Observation
 
         reach = seed.localCheckpoint(eager=True)
         frontier = reach
-        for it in range(iters):
+        for it in range(iters // 2 + 1):
             obs = Observation(f"reach_{it}")
-            nxt = (
+            hop1 = (
                 frontier.join(edges_nm, ["n", "label"])
                 .select(F.col("m").alias("n"), "label")
+                .distinct()
+            )
+            hop2 = (
+                hop1.join(edges_nm, ["n", "label"])
+                .select(F.col("m").alias("n"), "label")
+                .distinct()
+            )
+            nxt = (
+                hop1.unionByName(hop2)
                 .distinct()
                 .join(reach, ["n", "label"], "left_anti")
                 .observe(obs, F.count(F.lit(1)).alias("n_new"))
                 .localCheckpoint(eager=True)
             )
-            # frontier size observed on the checkpoint job itself — no
-            # separate isEmpty job per BFS level
             if int(obs.get["n_new"] or 0) == 0:
                 return reach
-            reach = reach.unionByName(nxt).localCheckpoint(eager=True)
+            # lazy union of checkpointed parts: each part is materialized,
+            # so no extra barrier is paid to compact the running set
+            reach = reach.unionByName(nxt)
             frontier = nxt
         return None
 
@@ -295,6 +320,12 @@ def _bypass_rounds(
             REACH_ITERS,
         )
 
+    if stats is not None:
+        # observable in tests and ops: False = the coarser label fallback
+        # ran (reach fixpoint didn't converge within budget) — at scale
+        # that means the rounds grind the full removed set, so a silent
+        # regression here is a 10×+ wall cliff (r7's off-by-one was one)
+        stats["reach_filter"] = reach_f is not None and reach_b is not None
     if reach_f is not None and reach_b is not None:
         f_src = reach_f.select(F.col("n").alias("src"), "label").withColumn(
             "_f", F.lit(True)
@@ -356,27 +387,21 @@ def _bypass_rounds(
     import time as _time
 
     debug = bool(_os.environ.get("OPENIE_BYPASS_DEBUG"))
-    rounds = 0
-    truncated = False
-    # in-play row count carried across rounds: observed for free on each
-    # round's checkpoint (r5 next-round item 2 — every in-play row touches
-    # a removed node and vice versa, so in_play == 0 ⟺ removed is empty),
-    # replacing the per-round removed.isEmpty() job. None = not yet known
-    # (first round probes once).
-    in_play_known: Optional[int] = None
-    for _ in range(max_rounds):
-        _t0 = _time.monotonic()
+
+    def one_round(cur: DataFrame) -> DataFrame:
+        """ONE bypass round as a LAZY plan: input rows in edge_cols (rows
+        already kept→kept are inert — their endpoints never land in
+        ``removed``/``batch``, so they pass through ``untouched`` and are
+        merely re-touched by this round's aggregation, identically to
+        what finalize() would do to them). Output: merged rows in
+        edge_cols + src_kept/dst_kept tags."""
         removed = (
-            cur_edges.select(F.col("src").alias("lemma_key"))
-            .unionByName(cur_edges.select(F.col("dst").alias("lemma_key")))
+            cur.select(F.col("src").alias("lemma_key"))
+            .unionByName(cur.select(F.col("dst").alias("lemma_key")))
             .distinct()
             .join(keep_df, "lemma_key", "left_anti")
+            .withColumn("h", F.xxhash64("lemma_key"))
         )
-        if in_play_known == 0 or (in_play_known is None and removed.isEmpty()):
-            break
-        rounds += 1
-        removed = removed.withColumn("h", F.xxhash64("lemma_key"))
-
         # defer removed nodes adjacent (among current edges) to a
         # smaller-hash removed node
         r_src = removed.select(
@@ -386,7 +411,7 @@ def _bypass_rounds(
             F.col("lemma_key").alias("dst"), F.col("h").alias("h_dst")
         )
         adj = (
-            cur_edges.join(r_src, "src").join(r_dst, "dst")
+            cur.join(r_src, "src").join(r_dst, "dst")
             .select("src", "dst", "h_src", "h_dst")
         )
         losers = (
@@ -419,14 +444,14 @@ def _bypass_rounds(
         # only pred != mid and succ != mid pairs survive. Without this
         # filter a (pred->v, v->v) pair re-adds pred->v each round and v is
         # never consumed (non-convergence).
-        b_in = cur_edges.join(
+        b_in = cur.join(
             batch.withColumnRenamed("lemma_key", "dst"), "dst"
         ).filter(F.col("src") != F.col("dst")).select(
             F.col("dst").alias("mid"),
             F.col("src").alias("pred"),
             F.col("label").alias("in_label"),
         )
-        b_out = cur_edges.join(
+        b_out = cur.join(
             batch.withColumnRenamed("lemma_key", "src"), "src"
         ).filter(F.col("dst") != F.col("src")).select(
             F.col("src").alias("mid"),
@@ -455,13 +480,10 @@ def _bypass_rounds(
             )
         )
         untouched = (
-            cur_edges.join(batch.withColumnRenamed("lemma_key", "src"), "src", "left_anti")
+            cur.join(batch.withColumnRenamed("lemma_key", "src"), "src", "left_anti")
             .join(batch.withColumnRenamed("lemma_key", "dst"), "dst", "left_anti")
         )
-        from pyspark.sql import Observation
-
-        obs = Observation(f"bypass_r{rounds}")
-        merged = (
+        return (
             untouched.select(bypass.columns)
             .unionByName(bypass)
             .groupBy("src", "dst", "edge_key")
@@ -481,12 +503,59 @@ def _bypass_rounds(
             .join(k_dst.withColumn("dst_kept", F.lit(True)), "dst", "left")
             .withColumn("src_kept", F.coalesce(src_kept, F.lit(False)))
             .withColumn("dst_kept", F.coalesce(dst_kept, F.lit(False)))
-            .observe(
-                obs,
-                F.sum((~(src_kept & dst_kept)).cast("long")).alias("in_play"),
-            )
-            .localCheckpoint(eager=True)
         )
+
+    rounds = 0
+    truncated = False
+    # Round pairing (r7, VERDICT r6 item 7 — MEASURED AND REJECTED as the
+    # default): OPENIE_BYPASS_ROUNDS_PER_CKPT>1 chains that many rounds
+    # LAZILY per localCheckpoint, one job barrier per group instead of per
+    # round. Semantics are exactly the sequential rounds' (each round's
+    # groupBy still precedes the next round's pairing in the plan;
+    # max_rounds stays an exact bound). But it LOSES in practice: round
+    # B's plan references round A's subtree ~6× (removed/adj/b_in/b_out/
+    # untouched), and only the exchanges are reused — the post-shuffle
+    # aggregation and join stages re-execute per consumer, ~3× the work
+    # per pair (measured: the 5 bypass pytest cases 159s sequential vs
+    # >430s paired; 1M-node A/B in BENCH/bypass_pair_ab.json). The barrier
+    # saving the pairing chases was captured instead inside _reach (two
+    # BFS levels per checkpoint, fan-out 2 — that one measures FASTER).
+    # The lever stays for re-measurement on a real cluster where
+    # scheduler-barrier cost could dominate recompute.
+    rounds_per_ckpt = max(
+        1, int(_os.environ.get("OPENIE_BYPASS_ROUNDS_PER_CKPT", "1"))
+    )
+    # in-play row count carried across checkpoints: observed for free on
+    # each checkpoint (r5 next-round item 2 — every in-play row touches
+    # a removed node and vice versa, so in_play == 0 ⟺ removed is empty),
+    # replacing the per-round removed.isEmpty() job. None = not yet known
+    # (first iteration probes once).
+    in_play_known: Optional[int] = None
+    from pyspark.sql import Observation
+
+    while rounds < max_rounds:
+        _t0 = _time.monotonic()
+        if in_play_known == 0:
+            break
+        if in_play_known is None:
+            removed_probe = (
+                cur_edges.select(F.col("src").alias("lemma_key"))
+                .unionByName(cur_edges.select(F.col("dst").alias("lemma_key")))
+                .distinct()
+                .join(keep_df, "lemma_key", "left_anti")
+            )
+            if removed_probe.isEmpty():
+                break
+        n_sub = min(rounds_per_ckpt, max_rounds - rounds)
+        plan = cur_edges
+        for _ in range(n_sub):
+            rounds += 1
+            plan = one_round(plan.select(edge_cols))
+        obs = Observation(f"bypass_r{rounds}")
+        merged = plan.observe(
+            obs,
+            F.sum((~(src_kept & dst_kept)).cast("long")).alias("in_play"),
+        ).localCheckpoint(eager=True)
         done_parts.append(
             merged.filter(src_kept & dst_kept).select(edge_cols)
         )
@@ -496,12 +565,12 @@ def _bypass_rounds(
             import sys as _sys
 
             print(
-                f"bypass round {rounds}: {_time.monotonic() - _t0:.1f}s "
-                f"in_play={in_play_known}",
+                f"bypass rounds {rounds - n_sub + 1}-{rounds}: "
+                f"{_time.monotonic() - _t0:.1f}s in_play={in_play_known}",
                 file=_sys.stderr,
             )
 
-    else:
+    if in_play_known != 0 and rounds >= max_rounds:
         # max_rounds exhausted: never return edges referencing nodes absent
         # from new_nodes — drop any leftovers loudly instead of dangling.
         leftover = (

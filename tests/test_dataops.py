@@ -1003,6 +1003,120 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
     assert len(got) == 4  # two sessions per user
 
 
+def _run_session_stream(spark, tmp_path, chunks, watermark):
+    """Feed ``chunks`` (list of row-lists) through stream_session_rollup
+    one micro-batch per chunk (maxFilesPerTrigger=1, availableNow) and
+    return the emitted session set, sentinel user -1 excluded."""
+    from openie_spark.dataops.sessions import stream_session_rollup
+
+    src = tmp_path / "ev"
+    for i, chunk in enumerate(chunks):
+        spark.createDataFrame(
+            chunk, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(str(src / f"p{i}"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = tmp_path / "out"
+    q = (
+        stream_session_rollup(stream, gap_seconds=1800, watermark=watermark)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r["user_id"], r["start_us"], r["n_events"], r["max_ts_us"],
+         r["value_sum"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] >= 0
+    }
+
+
+def test_stream_sessions_late_within_watermark_merges(spark, tmp_path):
+    """VERDICT r6 item 4a: a LATE event (arrives a micro-batch after
+    events with later event times, but inside the watermark) must be
+    folded into session state — including the hard case where it BRIDGES
+    two session windows that were provisionally separate (session_window
+    state merge). The flushed session must equal the batch rollup over
+    the full input."""
+    from openie_spark.dataops.sessions import session_rollup
+
+    on_time = [
+        # user 2: 00:00 and 00:40 — gap 2400s > 1800 → two provisional
+        # sessions until the late 00:20 event bridges them
+        (1, 2, "2024-01-01 00:00:00", 1.0),
+        (2, 2, "2024-01-01 00:40:00", 2.0),
+    ]
+    late = [(3, 2, "2024-01-01 00:20:00", 4.0)]  # arrives one batch later
+    sentinel = [(99, -1, "2024-01-02 00:00:00", 0.0)]
+
+    got = _run_session_stream(
+        spark, tmp_path, (on_time, late, sentinel), watermark="2 hours"
+    )
+    batch = spark.createDataFrame(
+        on_time + late, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], r["start_us"], r["n_events"], r["end_us"],
+         r["value_sum"])
+        for r in session_rollup(batch, gap_seconds=1800).collect()
+    }
+    assert got == want
+    assert len(got) == 1  # ONE merged session of 3 events, not two of 1-2
+    assert next(iter(got))[2] == 3
+
+
+def test_stream_sessions_beyond_watermark_drops(spark, tmp_path):
+    """VERDICT r6 item 4b (documented divergence): an event arriving
+    BEYOND the watermark (its session window closed before the current
+    watermark) is dropped by the engine — the streaming result equals the
+    batch rollup over the input WITHOUT that event, not over the full
+    input. This is the watermark contract, not a bug: bounded state
+    requires discarding arbitrarily-late data; size the watermark to the
+    pipeline's real lateness tolerance.
+
+    Engine quirk pinned along the way (measured, Spark 4.1): the
+    watermark is APPLIED with a one-trigger lag — a late row arriving in
+    the very next trigger after the one that advanced the watermark past
+    it is still accepted (numRowsDroppedByWatermark=0); the drop needs an
+    intervening trigger. Hence on_time is split across two triggers here
+    so the 00:00 row meets an already-applied 01:00+ watermark."""
+    from openie_spark.dataops.sessions import session_rollup
+
+    on_time_a = [(1, 1, "2024-01-01 01:00:00", 1.0)]
+    on_time_b = [(3, 1, "2024-01-01 01:05:00", 4.0)]
+    # event time 00:00, session window [00:00, 00:30) — fully below the
+    # applied watermark (01:00) by the time this trigger runs → dropped
+    too_late = [(2, 1, "2024-01-01 00:00:00", 2.0)]
+    sentinel = [(99, -1, "2024-01-02 00:00:00", 0.0)]
+
+    got = _run_session_stream(
+        spark, tmp_path, (on_time_a, on_time_b, too_late, sentinel),
+        watermark="0 seconds",
+    )
+    batch_kept = spark.createDataFrame(
+        on_time_a + on_time_b,
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], r["start_us"], r["n_events"], r["end_us"],
+         r["value_sum"])
+        for r in session_rollup(batch_kept, gap_seconds=1800).collect()
+    }
+    assert got == want  # the 00:00 event is absent from the stream result
+    assert len(got) == 1 and next(iter(got))[2] == 2
+
+
 def test_hash_sample_deterministic_nested_stratified(spark):
     """hash_sample: partition-layout-independent (repartition → identical
     rows), nested (higher rate ⊇ lower rate at the same salt), salt-

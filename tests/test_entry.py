@@ -104,6 +104,37 @@ def test_minhash_banding_recall_exact_at_driver_sf(spark, duck_driver_sf):
     _compare_with_oracle(spark, duck_driver_sf, "minhash_dedup", DRIVER_SF_DIR)
 
 
+@pytest.mark.parametrize(
+    "name", ["events_sessions", "events_rollup", "node_aggregate"]
+)
+def test_micros_sums_partition_order_independent(spark, name):
+    """Pins the r6 driver-hash failure mode: every oracled micro-unit SUM
+    must be computed as sum(per-row bigint micros) — order-independent by
+    integer associativity — never round(sum(double)*1e6), whose last-ulp
+    partial-agg order dependence flips the rounding on .5-micro-boundary
+    groups under a different partition layout. Checked two ways: the
+    micros column is integral (a double sum would be rounded at the end,
+    type long either way, so also...) the full result set is identical
+    under two different shuffle-partition counts."""
+    q = entrymod.queries()[name]
+
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        a = q(spark, SF_DIR)
+        micros_cols = [c for c in a.columns if c.endswith("_micros")]
+        assert micros_cols, name
+        for c in micros_cols:
+            assert dict(a.dtypes)[c] == "bigint", (name, c)
+        rows_a = normalize([r.asDict() for r in a.collect()], a.columns)
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        b = q(spark, SF_DIR)
+        rows_b = normalize([r.asDict() for r in b.collect()], b.columns)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prior)
+    assert rows_a == rows_b, f"{name}: result depends on partition layout"
+
+
 def test_rows_only_queries_run(spark):
     """Queries without oracles must at least run and return a stable schema."""
     no_oracle = set(entrymod.queries()) - set(entrymod.oracle_sql())

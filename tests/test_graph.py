@@ -328,6 +328,32 @@ def test_bypass_long_chain_round_bound(spark):
     assert kept == keep
 
 
+def test_bypass_reach_budget_boundary_converges(spark):
+    """Pins the r7 off-by-one: a removed chain whose reach BFS empties
+    exactly at the REACH_ITERS level budget must still CONVERGE (use the
+    (node,label) reach filter, stats['reach_filter'] True) — the paired
+    2-levels-per-checkpoint expansion needs iters//2 + 1 pairs to certify
+    that, not ceil(iters/2). Regression: the off-by-one silently fell
+    back to the label filter, and at 1M nodes the rounds ground the full
+    removed set (~15%/round, measured 10×+ the wall)."""
+    from openie_spark.topk import REACH_ITERS, bypass_and_drop
+
+    n = REACH_ITERS  # forward reach needs exactly `iters` expansions
+    names = [f"b{i:02d}" for i in range(n + 2)]
+    rows = [
+        (f"u{i}", 0, f"s{i}", names[i], "rel", names[i + 1], "obj", V_ZERO, V_ZERO, 0)
+        for i in range(n + 1)
+    ]
+    nodes, edges = _agg(spark, rows)
+    keep = {names[0], names[-1]}
+    stats: dict = {}
+    f_nodes, f_edges = bypass_and_drop(nodes, edges, keep, stats=stats)
+    got = {(r["src"], r["dst"], r["edge_key"]): r["weight"] for r in f_edges.collect()}
+    assert got == {(names[0], names[-1], "rel + obj"): 1}
+    assert stats["reach_filter"] is True, stats
+    assert not stats["truncated"]
+
+
 def test_bypass_reach_filter_equals_fallback(spark, monkeypatch):
     """The (node,label) reachability pre-filter and the coarser label-level
     fallback must produce identical bypass output on a graph mixing chains,

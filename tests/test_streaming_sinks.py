@@ -317,6 +317,40 @@ def test_dedup_refresh_retry_is_idempotent(spark, tmp_path):
     ) == 0
 
 
+def test_dedup_survivors_exclude_inflight_epoch(spark, tmp_path):
+    """ADVICE r6: docs written by an in-flight/crashed epoch (docs
+    partition landed, v{N} state incomplete) must NOT surface as
+    survivors — read_dedup_survivors returns the consistent snapshot at
+    the latest COMPLETE version (docs epoch <= cur)."""
+    from openie_spark.streaming import make_dedup_refresh, read_dedup_survivors
+
+    b0, b1, _ = _dedup_corpus()
+    state = tmp_path / "state"
+    refresh = make_dedup_refresh(
+        str(state), n_hashes=32, bands=8, jaccard_threshold=0.6
+    )
+    refresh(spark.createDataFrame(b0, "doc_id long, text string"), 0)
+    refresh(spark.createDataFrame(b1, "doc_id long, text string"), 1)
+    base = {
+        r["doc_id"]
+        for r in read_dedup_survivors(spark, str(state)).collect()
+    }
+
+    # simulate epoch 2 crashing between its docs write and its state
+    # write: the docs partition exists, v00000002 does not
+    orphan = spark.createDataFrame(
+        [(999, "orphan in-flight doc")], "doc_id long, text string"
+    ).withColumn("content_hash", F.md5("text"))
+    orphan.write.mode("overwrite").parquet(f"{state}/docs/epoch=00000002")
+
+    got = {
+        r["doc_id"]
+        for r in read_dedup_survivors(spark, str(state)).collect()
+    }
+    assert 999 not in got
+    assert got == base
+
+
 def _graph_snapshot(nodes, edges):
     n = {
         r["lemma_key"]: (
