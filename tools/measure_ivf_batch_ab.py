@@ -78,6 +78,7 @@ def main() -> None:
             probe_df,
             k=args.k,
             n_probe=args.n_probe,
+            probe_id_col="vec_id",
             broadcast_probes=broadcast,
         )
         n = out.count()
