@@ -686,6 +686,85 @@ def q_hash_sample(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars")
 
 
+def q_events_intervals(spark, sf_dir):
+    """Point-in-interval join (dataops/intervals.py): every non-error
+    event that falls inside the 4-hour window after an error by the same
+    user. The naive BETWEEN theta-join plans as a nested-loop/cartesian;
+    this is the binned shape — intervals explode to the time bins they
+    span, points map to exactly ONE bin, and the match is a plain
+    (user_id, bin) equi-join + exact residual (no duplicate pairs by
+    construction, plan-tested no-cartesian). Bin arithmetic is integer
+    microseconds, so binning can never disagree with the residual at a
+    boundary. Oracle: the literal BETWEEN join in DuckDB."""
+    from openie_spark.dataops.intervals import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    pts = ev.filter(F.col("event_type") != "error")
+    out = interval_join(
+        pts, errors, point_ts="ts", by="user_id", bin_seconds=4 * 3600
+    )
+    return out.select(
+        "event_id",
+        F.col("ivl_interval_id").alias("interval_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("ivl_start_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def q_events_rolling(spark, sf_dir):
+    """Time-range rolling features (dataops/intervals.py rolling_agg):
+    per event, the count and value-sum of the same user's events in the
+    preceding hour (inclusive) — ONE rangeBetween window over integer
+    microseconds, one shuffle, no self-join. The sum is per-row bigint
+    micros (associative — partition-layout-proof, see _sum_micros).
+    Oracle: the identical ANSI RANGE frame in DuckDB."""
+    from openie_spark.dataops.intervals import rolling_agg
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "value_us", F.round(F.col("value") * 1e6).cast("bigint")
+    )
+    out = rolling_agg(
+        ev,
+        {
+            "n_1h": F.count(F.lit(1)),
+            "value_1h_micros": F.sum("value_us"),
+        },
+        ts_col="ts",
+        by="user_id",
+        window_seconds=3600,
+    )
+    return out.select("event_id", "n_1h", "value_1h_micros")
+
+
+def q_events_quantiles(spark, sf_dir):
+    """Exact per-group quantiles (dataops/quantiles.py): percentile_disc
+    quartiles of event value per event_type — window rank + rank-hit
+    collapse in a SINGLE exchange (the groupBy reuses the window's hash
+    partitioning, plan-tested). Dyadic q (k/2^m) makes the ceil(q*n)
+    rank float-exact, so the selected ELEMENT (never an interpolation)
+    is bitwise engine-portable. Oracle: DuckDB's native percentile_disc
+    WITHIN GROUP."""
+    from openie_spark.dataops.quantiles import group_quantiles
+
+    ev = _read(spark, sf_dir, "events")
+    out = group_quantiles(ev, "value", [0.25, 0.5, 0.75], by="event_type")
+    return out.select(
+        "event_type",
+        "n",
+        _micros(F.col("p25")).alias("p25_micros"),
+        _micros(F.col("p50")).alias("p50_micros"),
+        _micros(F.col("p75")).alias("p75_micros"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -724,6 +803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_asof": q_events_asof,
         "events_sessions": q_events_sessions,
+        "events_intervals": q_events_intervals,
+        "events_rolling": q_events_rolling,
+        "events_quantiles": q_events_quantiles,
         "hash_sample": q_hash_sample,
     }
 
@@ -1077,6 +1159,52 @@ def oracle_sql() -> dict[str, str]:
                    min(us) AS start_us, max(us) AS end_us,
                    sum(round(value * 1e6)::BIGINT)::BIGINT AS value_micros
             FROM s2 GROUP BY user_id, session_seq
+        """,
+        # - events_intervals: the literal point-in-interval BETWEEN join
+        #   DuckDB can afford at this scale — Spark computes the same
+        #   pair set via the binned (user_id, bin) equi-join, which is
+        #   the shape that survives 100 TB. Exact timestamp arithmetic
+        #   on both sides; half-open upper bound.
+        "events_intervals": """
+            WITH ivl AS (
+              SELECT event_id AS interval_id, user_id, ts AS start_ts,
+                     ts + INTERVAL 4 HOUR AS end_ts
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT e.event_id, ivl.interval_id,
+                   (epoch_us(e.ts) - epoch_us(ivl.start_ts))::BIGINT AS gap_us
+            FROM events e JOIN ivl
+              ON e.user_id = ivl.user_id
+             AND e.ts >= ivl.start_ts AND e.ts < ivl.end_ts
+            WHERE e.event_type <> 'error'
+        """,
+        # - events_rolling: the identical ANSI RANGE frame (integer
+        #   microseconds, both ends inclusive, equal-ts rows are peers)
+        #   in DuckDB window SQL; the windowed sum is per-row bigint
+        #   micros on both sides so it cannot drift with layout.
+        "events_rolling": """
+            SELECT event_id,
+                   count(*) OVER w AS n_1h,
+                   (sum(round(value * 1e6)::BIGINT) OVER w)::BIGINT
+                     AS value_1h_micros
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        # - events_quantiles: DuckDB's NATIVE percentile_disc — an
+        #   independent implementation of the same order statistic
+        #   (smallest element with cume_dist >= q). Dyadic q keeps the
+        #   rank decision float-exact on both engines; the output is an
+        #   existing element, so micros-rounding it is deterministic.
+        "events_quantiles": """
+            SELECT event_type, count(value) AS n,
+              round(percentile_disc(0.25) WITHIN GROUP (ORDER BY value)
+                    * 1e6)::BIGINT AS p25_micros,
+              round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY value)
+                    * 1e6)::BIGINT AS p50_micros,
+              round(percentile_disc(0.75) WITHIN GROUP (ORDER BY value)
+                    * 1e6)::BIGINT AS p75_micros
+            FROM events GROUP BY event_type
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on

@@ -1157,3 +1157,163 @@ def test_hash_sample_deterministic_nested_stratified(spark):
     assert {i for i in range(2000) if i % 2 == 1} <= {
         r["doc_id"] for r in all_s2.collect()
     }
+
+
+def test_interval_join_brute_force_and_plan(spark):
+    """interval_join (binned equi-join shape): exact match set vs a
+    brute-force BETWEEN scan on planted data that exercises every edge —
+    points exactly ON interval start (kept), exactly on end (dropped
+    half-open, kept with end_inclusive), intervals spanning multiple
+    bins, zero-length intervals, end < start (dropped), key scoping,
+    and duplicate containment (one point in two intervals). No pair may
+    duplicate (each point has one bin). Plan: a real equi-join — no
+    CartesianProduct, no BroadcastNestedLoopJoin."""
+    from openie_spark.dataops.intervals import interval_join
+
+    base = 1_700_000_000  # some epoch seconds
+    def ts(s):
+        return F.expr(f"timestamp_seconds({base + s})")
+
+    # points: (pid, key, sec offset)
+    pts_rows = [
+        (1, "a", 0), (2, "a", 59), (3, "a", 60), (4, "a", 61),
+        (5, "a", 150), (6, "a", 239), (7, "a", 240), (8, "b", 150),
+        (9, "b", 1000),
+    ]
+    # intervals: (iid, key, start offset, end offset)
+    ivl_rows = [
+        (100, "a", 0, 60),       # [0, 60): drops pid 3 unless inclusive
+        (101, "a", 50, 240),     # spans multiple 60s bins
+        (102, "a", 150, 150),    # zero length: empty half-open
+        (103, "a", 300, 200),    # end < start: dropped
+        (104, "b", 100, 200),    # key scoping
+    ]
+    pts = spark.createDataFrame(
+        [(p, k, base + s) for p, k, s in pts_rows], "pid long, key string, sec long"
+    ).select("pid", "key", F.timestamp_seconds("sec").alias("ts"))
+    ivls = spark.createDataFrame(
+        [(i, k, base + s, base + e) for i, k, s, e in ivl_rows],
+        "iid long, key string, s long, e long",
+    ).select(
+        "iid", "key",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+
+    def brute(inclusive):
+        out = set()
+        for p, pk, psec in pts_rows:
+            for i, ik, s, e in ivl_rows:
+                if pk != ik or e < s:
+                    continue
+                hit = s <= psec <= e if inclusive else s <= psec < e
+                if hit:
+                    out.add((p, i))
+        return out
+
+    for inclusive in (False, True):
+        got_df = interval_join(
+            pts, ivls, point_ts="ts", by="key",
+            bin_seconds=60, end_inclusive=inclusive,
+        )
+        got = [(r["pid"], r["ivl_iid"]) for r in got_df.collect()]
+        assert len(got) == len(set(got)), "duplicate pairs"
+        assert set(got) == brute(inclusive), f"inclusive={inclusive}"
+
+    # semi / anti keep point columns only, never duplicate points
+    semi = interval_join(pts, ivls, by="key", bin_seconds=60, how="left_semi")
+    anti = interval_join(pts, ivls, by="key", bin_seconds=60, how="left_anti")
+    assert semi.columns == pts.columns and anti.columns == pts.columns
+    inside = {p for (p, _) in brute(False)}
+    assert {r["pid"] for r in semi.collect()} == inside
+    assert {r["pid"] for r in anti.collect()} == (
+        {p for p, _, _ in pts_rows} - inside
+    )
+
+    plan = interval_join(pts, ivls, by="key", bin_seconds=60)._jdf\
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "Join" in plan  # it IS an equi-join, not a filter trick
+
+
+def test_rolling_agg_brute_force_and_plan(spark):
+    """rolling_agg: window [t-W, t] is inclusive at BOTH ends, equal-ts
+    rows are peers (always counted together, RANGE semantics),
+    min_periods masks warm-up rows — vs a brute-force scan; the plan is
+    a single Exchange (one shuffle, no self-join)."""
+    from openie_spark.dataops.intervals import rolling_agg
+
+    rows = [  # (eid, user, sec, v)
+        (1, 1, 0, 10), (2, 1, 3600, 20),      # exactly W apart: included
+        (3, 1, 3601, 40),                      # 1 beyond eid1's window
+        (4, 1, 3601, 80),                      # tie with eid3: peers
+        (5, 1, 10000, 160), (6, 2, 3600, 320),
+    ]
+    df = spark.createDataFrame(
+        rows, "eid long, user_id long, sec long, v long"
+    ).select("eid", "user_id", F.timestamp_seconds("sec").alias("ts"), "v")
+
+    out = rolling_agg(
+        df,
+        {"n": F.count(F.lit(1)), "s": F.sum("v")},
+        ts_col="ts", by="user_id", window_seconds=3600,
+    )
+    got = {r["eid"]: (r["n"], r["s"]) for r in out.collect()}
+    want = {}
+    for e, u, t, _ in rows:
+        grp = [(ee, vv) for ee, uu, tt, vv in rows
+               if uu == u and t - 3600 <= tt <= t]
+        want[e] = (len(grp), sum(v for _, v in grp))
+    assert got == want
+
+    masked = rolling_agg(
+        df, {"n": F.count(F.lit(1))},
+        ts_col="ts", by="user_id", window_seconds=3600, min_periods=2,
+    )
+    gm = {r["eid"]: r["n"] for r in masked.collect()}
+    assert gm == {e: (n if n >= 2 else None) for e, (n, _) in want.items()}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final[:2000]
+    assert "Join" not in final
+
+
+def test_group_quantiles_exact_and_plan(spark):
+    """group_quantiles == percentile_disc: the selected value is the
+    smallest ELEMENT with cume_dist >= q (rank ceil(q*n)), duplicates
+    and NULLs handled like WITHIN GROUP — vs a brute-force sorted-list
+    lookup over every dyadic q and several group sizes (incl. n=1 and a
+    group of identical values); the rank-hit groupBy reuses the window
+    shuffle (single Exchange)."""
+    import math
+
+    from openie_spark.dataops.quantiles import group_quantiles
+
+    rows = []
+    groups = {
+        "g1": [5.0],
+        "g2": [1.0, 2.0, 3.0, 4.0],
+        "g3": [2.0, 2.0, 2.0, 2.0, 2.0],
+        "g4": [float(x) for x in (9, 1, 7, 3, 5, 3, 8)],
+        "g5": [1.0, None, 3.0, None, 2.0],
+    }
+    for g, vs in groups.items():
+        rows += [(g, v) for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    qs = [0.25, 0.5, 0.75, 1.0]
+    out = group_quantiles(df, "v", qs, by="g")
+    got = {r["g"]: (r["n"], r["p25"], r["p50"], r["p75"], r["p100"])
+           for r in out.collect()}
+
+    for g, vs in groups.items():
+        clean = sorted(v for v in vs if v is not None)
+        n = len(clean)
+        want = tuple(clean[max(1, math.ceil(q * n)) - 1] for q in qs)
+        assert got[g] == (n, *want), g
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, final[:2000]

@@ -105,7 +105,14 @@ def test_minhash_banding_recall_exact_at_driver_sf(spark, duck_driver_sf):
 
 
 @pytest.mark.parametrize(
-    "name", ["events_sessions", "events_rollup", "node_aggregate"]
+    "name",
+    [
+        "events_sessions",
+        "events_rollup",
+        "node_aggregate",
+        "events_rolling",
+        "events_quantiles",
+    ],
 )
 def test_micros_sums_partition_order_independent(spark, name):
     """Pins the r6 driver-hash failure mode: every oracled micro-unit SUM
