@@ -315,6 +315,51 @@ def main() -> None:
         repeat=3,
     )
 
+    # events-table relational operators (r7): binned interval join,
+    # time-range rolling features, exact per-group quantiles — one-shuffle
+    # shapes timed for round-over-round coverage
+    from openie_spark.dataops.intervals import interval_join, rolling_agg
+    from openie_spark.dataops.quantiles import group_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    bench(
+        "interval_join",
+        lambda: force(
+            interval_join(
+                ev.filter(F.col("event_type") != "error"),
+                errors,
+                by="user_id",
+                bin_seconds=4 * 3600,
+            ).select("event_id", "ivl_interval_id")
+        ),
+        repeat=2,
+    )
+    bench(
+        "rolling_1h",
+        lambda: force(
+            rolling_agg(
+                ev,
+                {"n_1h": F.count(F.lit(1))},
+                by="user_id",
+                window_seconds=3600,
+            ).select("event_id", "n_1h")
+        ),
+        repeat=2,
+    )
+    bench(
+        "group_quantiles",
+        lambda: force(
+            group_quantiles(ev, "value", [0.25, 0.5, 0.75], by="event_type")
+        ),
+        repeat=2,
+    )
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if scale_x > 1:
         # plain replication (keys constant, 10× rows): measures the agg's
