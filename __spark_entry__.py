@@ -765,6 +765,53 @@ def q_events_quantiles(spark, sf_dir):
     )
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level boilerplate removal (dataops/linededup.py):
+    lines whose trimmed form appears in >= 4 distinct docs are removed
+    from EVERY doc; survivors reassemble in original order; docs that
+    were 100% boilerplate drop. The documents table has no newlines, so
+    lines are deterministic 4-token chunks (token_chunk_lines) on both
+    sides. Shape: one shuffle to count line doc-frequency (partial-agg),
+    the tiny boilerplate set broadcast to a left-anti join, one doc-id
+    shuffle to regroup. Oracle: the identical chunk/count/anti-join/
+    string_agg pipeline in DuckDB, joined on the trimmed line STRING
+    (Spark joins on xxhash64 of it — hash-collision-free at this scale,
+    so the two forms agree row-for-row)."""
+    from openie_spark.dataops.linededup import dedup_lines, token_chunk_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", token_chunk_lines("text", k=4).alias("lines")
+    )
+    out = dedup_lines(
+        base, lines_col="lines", min_doc_freq=4, join_delim="\n"
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+def q_token_pmi(spark, sf_dir):
+    """Document-level token co-occurrence counts (dataops/cooccur.py) —
+    the PMI substrate for co-occurrence KG edges. Pairs are generated
+    IN-ARRAY per doc (aggregate fold over sorted distinct tokens — no
+    self-join); the only shuffles are the two counting groupBys. Every
+    output column is an integer count (associative — layout-proof); the
+    float PMI itself is a derived convenience column excluded from the
+    contract. Oracle: the per-doc distinct-token self-join formulation
+    in DuckDB — an independent pair-generation strategy over the same
+    normalization."""
+    from openie_spark.dataops.cooccur import cooccurrence_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    return cooccurrence_counts(docs).select(
+        "token_a", "token_b", "pair_docs", "a_docs", "b_docs", "n_docs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -807,6 +854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling": q_events_rolling,
         "events_quantiles": q_events_quantiles,
         "hash_sample": q_hash_sample,
+        "line_dedup": q_line_dedup,
+        "token_pmi": q_token_pmi,
     }
 
 
@@ -1205,6 +1254,67 @@ def oracle_sql() -> dict[str, str]:
               round(percentile_disc(0.75) WITHIN GROUP (ORDER BY value)
                     * 1e6)::BIGINT AS p75_micros
             FROM events GROUP BY event_type
+        """,
+        # - line_dedup: the identical chunk → doc-freq → anti-join →
+        #   ordered string_agg pipeline in DuckDB, matching lines by the
+        #   trimmed STRING where Spark matches by xxhash64(trim(line)) —
+        #   equal results absent a 64-bit collision (none at this scale).
+        #   Zipped unnest keeps (pos, line) aligned; all-boilerplate docs
+        #   drop on both sides.
+        "line_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest([array_to_string(t[(i*4+1):(i*4+4)], ' ')
+                             FOR i IN range(CAST(ceil(len(t)/4.0) AS BIGINT))]) AS line,
+                     unnest(range(CAST(ceil(len(t)/4.0) AS BIGINT))) AS pos
+              FROM toks WHERE len(t) > 0
+            ),
+            bp AS (
+              SELECT trim(line) AS key FROM lines
+              GROUP BY 1 HAVING count(DISTINCT doc_id) >= 4
+            ),
+            kept AS (
+              SELECT l.doc_id, l.pos, l.line
+              FROM lines l ANTI JOIN bp b ON trim(l.line) = b.key
+            ),
+            tot AS (SELECT doc_id, count(*) AS n_total FROM lines GROUP BY 1)
+            SELECT k.doc_id,
+                   string_agg(k.line, chr(10) ORDER BY k.pos) AS clean_text,
+                   count(*)::BIGINT AS n_kept,
+                   (any_value(t.n_total) - count(*))::BIGINT AS n_dropped
+            FROM kept k JOIN tot t USING (doc_id)
+            GROUP BY k.doc_id
+        """,
+        # - token_pmi: independent pair generation — DuckDB self-joins the
+        #   exploded (doc, distinct token) relation where Spark folds pairs
+        #   in-array; identical normalization; every compared column is an
+        #   integer count, so the hash cannot drift with layout.
+        "token_pmi": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(list_filter(
+                       string_split({norm}, ' '), x -> x <> ''))) AS t
+              FROM documents
+            ),
+            l AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            pc AS (
+              SELECT a.token AS token_a, b.token AS token_b,
+                     count(*)::BIGINT AS pair_docs
+              FROM l a JOIN l b
+                ON a.doc_id = b.doc_id AND a.token < b.token
+              GROUP BY 1, 2
+            ),
+            tc AS (SELECT token, count(*)::BIGINT AS docs FROM l GROUP BY 1),
+            nd AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+            SELECT pc.token_a, pc.token_b, pc.pair_docs,
+                   ta.docs AS a_docs, tb.docs AS b_docs, nd.n_docs
+            FROM pc
+            JOIN tc ta ON pc.token_a = ta.token
+            JOIN tc tb ON pc.token_b = tb.token
+            CROSS JOIN nd
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on

@@ -360,6 +360,27 @@ def main() -> None:
         repeat=2,
     )
 
+    # corpus-statistics operators (r7): CCNet line dedup (chunked
+    # pseudo-lines) and the co-occurrence/PMI count table
+    from openie_spark.dataops.cooccur import cooccurrence_counts
+    from openie_spark.dataops.linededup import dedup_lines, token_chunk_lines
+
+    chunked = docs.select(
+        "doc_id", token_chunk_lines("text", k=4).alias("lines")
+    )
+    bench(
+        "line_dedup",
+        lambda: force(
+            dedup_lines(chunked, lines_col="lines", min_doc_freq=4)
+        ),
+        repeat=2,
+    )
+    bench(
+        "token_pmi",
+        lambda: force(cooccurrence_counts(docs)),
+        repeat=2,
+    )
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if scale_x > 1:
         # plain replication (keys constant, 10× rows): measures the agg's

@@ -1317,3 +1317,161 @@ def test_group_quantiles_exact_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1, final[:2000]
+
+
+def test_dedup_lines_strategies_and_semantics(spark):
+    """CCNet line dedup: lines in >= min_doc_freq distinct docs vanish
+    from every doc (matched on the TRIMMED form), survivors keep their
+    original order, within-doc repeats alone do NOT make a line
+    boilerplate (doc frequency is distinct-doc count), all-boilerplate
+    docs are dropped entirely, and the 'join' and 'filter' strategies —
+    one anti-join shuffle vs a zero-shuffle literal InSet probe — return
+    identical results."""
+    from openie_spark.dataops.linededup import dedup_lines
+
+    docs = [
+        (1, "unique one\nCOOKIE BANNER\nbody a"),
+        (2, "COOKIE BANNER\nbody b\nfooter nav"),
+        (3, "footer nav\nCOOKIE BANNER\nbody c"),
+        (4, "COOKIE BANNER\nfooter nav"),  # 100% boilerplate -> dropped
+        (5, "  COOKIE BANNER \nkeep me"),  # trim-matched
+        (6, "echo\necho\necho\nsolo body"),  # within-doc repeats: kept
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        1: ("unique one\nbody a", 2, 1),
+        2: ("body b", 1, 2),
+        3: ("body c", 1, 2),
+        5: ("keep me", 1, 1),
+        6: ("echo\necho\necho\nsolo body", 4, 0),
+    }
+    results = {}
+    for strat in ("join", "filter"):
+        out = dedup_lines(df, min_doc_freq=3, strategy=strat)
+        results[strat] = {
+            r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+            for r in out.collect()
+        }
+        assert results[strat] == want, strat
+    assert results["join"] == results["filter"]
+
+    with pytest.raises(ValueError):
+        dedup_lines(df, min_doc_freq=3, strategy="nope")
+    # bounded-collect guard: 2 boilerplate hashes > max_collect=1
+    with pytest.raises(ValueError):
+        dedup_lines(df, min_doc_freq=3, strategy="filter", max_collect=1)
+
+
+def test_dedup_lines_plans(spark):
+    """Plan shapes: the join strategy broadcasts the boilerplate set
+    (hinted) with no cartesian; the filter strategy's RETURNED frame is
+    exchange-free — the whole removal is a per-row array filter."""
+    from openie_spark.dataops.linededup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(i, "dup line\nbody %d" % i) for i in range(6)],
+        "doc_id long, text string",
+    )
+    joined = dedup_lines(df, min_doc_freq=3, strategy="join")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+    filtered = dedup_lines(df, min_doc_freq=3, strategy="filter")
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    final = fplan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final[:2000]
+    assert "BatchEvalPython" not in final  # pure JVM, no Python UDF
+
+
+def test_token_chunk_lines(spark):
+    from openie_spark.dataops.linededup import token_chunk_lines
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, "x y"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lines"]
+        for r in df.select(
+            "doc_id", token_chunk_lines("text", k=4).alias("lines")
+        ).collect()
+    }
+    assert got[1] == ["a b c d", "e f g h", "i"]
+    assert got[2] == ["x y"]
+    assert got[3] == [""] or got[3] == []  # split('') -> [''] -> 1 chunk
+
+
+def test_cooccurrence_counts_brute_force(spark):
+    """Doc-level co-occurrence vs itertools brute force: distinct tokens
+    per doc, normalization (lower + ws collapse), empty docs contribute
+    nothing, all six output columns integer."""
+    from collections import Counter
+    from itertools import combinations
+
+    from openie_spark.dataops.cooccur import (
+        cooccurrence_counts,
+        pmi_scores,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "cat and dog and bird"),
+        (4, "  The   CAT  "),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pair_c, tok_c = Counter(), Counter()
+    for _, t in docs:
+        toks = sorted(set(t.lower().split()))
+        tok_c.update(toks)
+        pair_c.update(combinations(toks, 2))
+    want = {
+        (a, b): (c, tok_c[a], tok_c[b], len(docs))
+        for (a, b), c in pair_c.items()
+    }
+
+    out = cooccurrence_counts(df)
+    assert all(t == "bigint" for c, t in out.dtypes if c.endswith("docs"))
+    got = {
+        (r["token_a"], r["token_b"]): (
+            r["pair_docs"], r["a_docs"], r["b_docs"], r["n_docs"],
+        )
+        for r in out.collect()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    # max_vocab keeps only top-N tokens (docs desc, token asc tiebreak):
+    # cat(3) and the(3) -> single surviving pair
+    capped = cooccurrence_counts(df, max_vocab=2)
+    got2 = {
+        (r["token_a"], r["token_b"]): r["pair_docs"]
+        for r in capped.collect()
+    }
+    assert got2 == {("cat", "the"): 2}
+
+    # min_pair_docs prunes rare pairs
+    pruned = cooccurrence_counts(df, min_pair_docs=2)
+    got3 = {
+        (r["token_a"], r["token_b"]): r["pair_docs"]
+        for r in pruned.collect()
+    }
+    assert got3 == {k: v[0] for k, v in want.items() if v[0] >= 2}
+
+    # PMI from the counts; PPMI clamps negatives at 0
+    import math
+
+    p = {
+        (r["token_a"], r["token_b"]): r["pmi"]
+        for r in pmi_scores(out).collect()
+    }
+    for (a, b), (c, ca, cb, n) in want.items():
+        assert abs(p[(a, b)] - max(0.0, math.log(c * n / (ca * cb)))) < 1e-12
+    raw = {
+        (r["token_a"], r["token_b"]): r["pmi"]
+        for r in pmi_scores(out, positive=False).collect()
+    }
+    assert any(v < 0 for v in raw.values())
