@@ -812,6 +812,36 @@ def q_token_pmi(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dataops/repetition.py): per-doc
+    duplicate-line instances (over 4-token pseudo-lines) and the most
+    frequent word 2-gram with its counts — the quality-filter substrate
+    (Rae et al. 2021 A1.1). Computed as in-array sorted-run folds: NO
+    explode, NO shuffle (plan-tested Exchange-free in pytest); ties on
+    the top gram break to the smallest string on both engines. Oracle:
+    explode + group-count + QUALIFY row_number in DuckDB — an
+    independent counting strategy; compared columns are integers and the
+    winning gram string only (the derived fractions are floats, pytest-
+    pinned instead)."""
+    from openie_spark.dataops.linededup import token_chunk_lines
+    from openie_spark.dataops.repetition import repetition_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "text", token_chunk_lines("text", k=4).alias("lines")
+    )
+    out = repetition_signals(base, lines_col="lines")
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dup_line_instances").cast("long").alias("n_dup_lines"),
+        "top_ngram",
+        F.col("top_ngram_count").cast("long").alias("top_ngram_count"),
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -856,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "line_dedup": q_line_dedup,
         "token_pmi": q_token_pmi,
+        "repetition": q_repetition,
     }
 
 
@@ -1315,6 +1346,56 @@ def oracle_sql() -> dict[str, str]:
             JOIN tc ta ON pc.token_a = ta.token
             JOIN tc tb ON pc.token_b = tb.token
             CROSS JOIN nd
+        """,
+        # - repetition: independent counting strategy — DuckDB explodes
+        #   2-grams and group-counts with a QUALIFY row_number tie-break
+        #   (count desc, gram asc) where Spark folds sorted runs in-array;
+        #   pseudo-lines are the same 4-token chunks as line_dedup;
+        #   integer/string columns only.
+        "repetition": f"""
+            WITH toksraw AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest([trim(array_to_string(t[(i*4+1):(i*4+4)], ' '))
+                             FOR i IN range(CAST(ceil(len(t)/4.0) AS BIGINT))]) AS line
+              FROM toksraw WHERE len(t) > 0
+            ),
+            lstats AS (
+              SELECT doc_id, count(*)::BIGINT AS n_lines,
+                     (count(*) - count(DISTINCT line))::BIGINT AS n_dup_lines
+              FROM lines GROUP BY 1
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({norm}, ' '), x -> x <> '') AS t,
+                     len({norm})::BIGINT AS n_chars_norm
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, unnest([t[i] || ' ' || t[i+1]
+                                     FOR i IN range(1, len(t))]) AS g
+              FROM toks WHERE len(t) >= 2
+            ),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, g AS top_ngram, c::BIGINT AS top_ngram_count
+              FROM gc
+              QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1
+            ),
+            ng AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams
+                   FROM grams GROUP BY 1)
+            SELECT ls.doc_id, ls.n_lines, ls.n_dup_lines,
+                   coalesce(top.top_ngram, '') AS top_ngram,
+                   coalesce(top.top_ngram_count, 0)::BIGINT AS top_ngram_count,
+                   coalesce(ng.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   tk.n_chars_norm
+            FROM lstats ls
+            JOIN toks tk USING (doc_id)
+            LEFT JOIN top USING (doc_id)
+            LEFT JOIN ng USING (doc_id)
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on

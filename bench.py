@@ -380,6 +380,22 @@ def main() -> None:
         lambda: force(cooccurrence_counts(docs)),
         repeat=2,
     )
+    from openie_spark.dataops.repetition import repetition_signals
+
+    bench(
+        "repetition",
+        lambda: force(
+            repetition_signals(
+                docs.select(
+                    "doc_id",
+                    "text",
+                    token_chunk_lines("text", k=4).alias("lines"),
+                ),
+                lines_col="lines",
+            )
+        ),
+        repeat=2,
+    )
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if scale_x > 1:

@@ -1475,3 +1475,71 @@ def test_cooccurrence_counts_brute_force(spark):
         for r in pmi_scores(out, positive=False).collect()
     }
     assert any(v < 0 for v in raw.values())
+
+
+def test_repetition_signals_brute_force_and_plan(spark):
+    """Gopher repetition signals vs itertools brute force: trimmed-line
+    duplicate instances, most-frequent 2-gram with smallest-gram
+    tie-break, derived fractions; empty and single-token docs; the whole
+    operator is an in-array fold — plan-tested Exchange-free. Also pins
+    the F.trim-as-bare-callable regression (its optional second arg
+    swallows the lambda variable and the trim no-ops)."""
+    import re
+    from collections import Counter
+
+    from openie_spark.dataops.repetition import (
+        repetition_filter,
+        repetition_signals,
+    )
+
+    docs = [
+        (1, "spam spam spam spam ham"),
+        (2, "a normal doc with words all different here"),
+        (3, "line one\nline two\nline one\n line one "),
+        (4, ""),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in repetition_signals(df).collect()}
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    for did, text in docs:
+        lines = [l.strip() for l in text.split("\n")]
+        toks = [t for t in norm(text).split(" ") if t]
+        grams = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        c = Counter(grams)
+        best_cnt = max(c.values()) if c else 0
+        best = min((g for g, n in c.items() if n == best_cnt), default="")
+        r = out[did]
+        assert r["n_lines"] == len(lines), (did, r)
+        assert r["n_dup_line_instances"] == len(lines) - len(set(lines))
+        assert (r["top_ngram"], r["top_ngram_count"]) == (best, best_cnt)
+        assert r["n_ngrams"] == len(grams)
+        assert r["n_chars_norm"] == len(norm(text))
+        if grams:
+            assert (
+                abs(
+                    r["top_ngram_frac"]
+                    - best_cnt * len(best) / len(norm(text))
+                )
+                < 1e-12
+            )
+        else:
+            assert r["top_ngram_frac"] == 0.0
+
+    # filter: doc1 is one repeated 2-gram (coverage > 0.5), doc3 is 50%
+    # duplicate lines — both dropped; the rest keep
+    kept = sorted(
+        r["doc_id"]
+        for r in repetition_filter(
+            df, max_dup_line_frac=0.4, max_top_ngram_frac=0.5
+        ).collect()
+    )
+    assert kept == [2, 4, 5], kept
+
+    plan = repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final, final[:2000]
+    assert "BatchEvalPython" not in final
