@@ -842,6 +842,23 @@ def q_repetition(spark, sf_dir):
     )
 
 
+def q_top_terms(spark, sf_dir):
+    """Per-doc distinctive terms (dataops/keyterms.py): top-3 by the
+    integer ordering (tf desc, corpus doc-freq asc, term asc) after a
+    50%-doc-frequency stopword cutoff — the deterministic core of
+    TF-IDF keyword nomination (the float score itself is pytest-pinned,
+    out of the hash contract). Two counting shuffles + term join + doc
+    window. No df cutoff here — the test corpus vocabulary is tiny and
+    Zipf, so a stopword cutoff empties the output (the cutoff path is
+    pytest-pinned instead); 3 rows per doc exercise the three-key
+    tie-break heavily. Oracle: the same counts and window in DuckDB —
+    integer comparisons only, so ranks are engine-portable."""
+    from openie_spark.dataops.keyterms import top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_terms(docs, k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -887,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "token_pmi": q_token_pmi,
         "repetition": q_repetition,
+        "top_terms": q_top_terms,
     }
 
 
@@ -1396,6 +1414,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN toks tk USING (doc_id)
             LEFT JOIN top USING (doc_id)
             LEFT JOIN ng USING (doc_id)
+        """,
+        # - top_terms: identical integer ranking in DuckDB window SQL —
+        #   (tf desc, df asc, term asc) compares only integers/strings,
+        #   so row_number agrees across engines.
+        "top_terms": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({norm}, ' '), x -> x <> '') AS t
+              FROM documents
+            ),
+            l AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            tc AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM l GROUP BY 1, 2),
+            dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS term_df
+                    FROM l GROUP BY 1),
+            nd AS (SELECT count(*)::BIGINT AS n FROM documents)
+            SELECT doc_id, term, tf, term_df, rank FROM (
+              SELECT tc.doc_id, tc.term, tc.tf, dfq.term_df,
+                     row_number() OVER (
+                       PARTITION BY tc.doc_id
+                       ORDER BY tc.tf DESC, dfq.term_df ASC, tc.term ASC
+                     )::BIGINT AS rank
+              FROM tc JOIN dfq USING (term)
+            ) WHERE rank <= 3
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on

@@ -380,8 +380,14 @@ def main() -> None:
         lambda: force(cooccurrence_counts(docs)),
         repeat=2,
     )
+    from openie_spark.dataops.keyterms import top_terms
     from openie_spark.dataops.repetition import repetition_signals
 
+    bench(
+        "top_terms",
+        lambda: force(top_terms(docs, k=3)),
+        repeat=2,
+    )
     bench(
         "repetition",
         lambda: force(

@@ -1543,3 +1543,64 @@ def test_repetition_signals_brute_force_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final, final[:2000]
     assert "BatchEvalPython" not in final
+
+
+def test_top_terms_and_tfidf_brute_force(spark):
+    """top_terms vs an itertools brute force: integer ranking
+    (tf desc, corpus df asc, term asc), min_df / max_df_frac cutoffs,
+    and the float tfidf column vs math.log."""
+    import math
+    from collections import Counter
+
+    from openie_spark.dataops.keyterms import tfidf_scores, top_terms
+
+    docs = [
+        (1, "apple apple apple banana the the"),
+        (2, "the banana banana cherry"),
+        (3, "the apple cherry date"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tfs = {did: Counter(t.lower().split()) for did, t in docs}
+    dfreq = Counter(t for c in tfs.values() for t in c)
+    n = len(docs)
+
+    def brute(k, min_df=1, max_df_frac=None):
+        out = {}
+        for did, c in tfs.items():
+            cand = [
+                (t, tf, dfreq[t])
+                for t, tf in c.items()
+                if dfreq[t] >= min_df
+                and (max_df_frac is None or dfreq[t] <= max_df_frac * n)
+            ]
+            cand.sort(key=lambda x: (-x[1], x[2], x[0]))
+            out[did] = [
+                (t, tf, d, r + 1) for r, (t, tf, d) in enumerate(cand[:k])
+            ]
+        return {d: v for d, v in out.items() if v}
+
+    for kwargs in (
+        dict(k=2),
+        dict(k=10),
+        dict(k=2, max_df_frac=0.6),
+        dict(k=3, min_df=2),
+    ):
+        got = {}
+        for r in top_terms(df, **kwargs).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["term"], r["tf"], r["term_df"], r["rank"])
+            )
+        for d in got:
+            got[d].sort(key=lambda x: x[3])
+        assert got == brute(**kwargs), kwargs
+
+    scores = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in tfidf_scores(df).collect()
+    }
+    for did, c in tfs.items():
+        for t, tf in c.items():
+            assert (
+                abs(scores[(did, t)] - tf * math.log(n / dfreq[t])) < 1e-12
+            )
