@@ -859,6 +859,24 @@ def q_top_terms(spark, sf_dir):
     return top_terms(docs, k=3)
 
 
+def q_ngram_overlap(spark, sf_dir):
+    """Exact n-gram decontamination (dataops/decontam.py): per-training-
+    doc count of distinct 5-grams shared with the eval corpus (doc_id
+    parity split, as in minhash_join) — the verbatim-benchmark-leakage
+    guard minhash cannot provide. Eval n-gram set broadcasts; train is
+    scanned once; output columns are all integers so the hash is
+    layout- and engine-proof. n=5 at this scale flags 18/250 train docs
+    (n=13 is the production default for real corpora)."""
+    from openie_spark.dataops.decontam import ngram_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    return ngram_overlap(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        n=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -905,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": q_token_pmi,
         "repetition": q_repetition,
         "top_terms": q_top_terms,
+        "ngram_overlap": q_ngram_overlap,
     }
 
 
@@ -1438,6 +1457,33 @@ def oracle_sql() -> dict[str, str]:
                      )::BIGINT AS rank
               FROM tc JOIN dfq USING (term)
             ) WHERE rank <= 3
+        """,
+        # - ngram_overlap: the same 5-gram sets derived independently
+        #   with DuckDB list ops (generate_series + inclusive slicing vs
+        #   Spark's sequence + slice); counts are integers so the join +
+        #   group agrees bit-for-bit. generate_series(1, len-4) is empty
+        #   when the doc is shorter than n, matching the Spark guard.
+        "ngram_overlap": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split({norm}, ' '), x -> x <> '') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(t) - 4, 0)),
+                       i -> array_to_string(t[i:i+4], ' '))) AS g
+              FROM toks
+            ),
+            tr AS (SELECT doc_id, len(g)::BIGINT AS n_ngrams,
+                          unnest(g) AS ngram
+                   FROM grams WHERE doc_id % 2 = 0),
+            ev AS (SELECT DISTINCT unnest(g) AS ngram
+                   FROM grams WHERE doc_id % 2 = 1)
+            SELECT tr.doc_id, n_ngrams, count(*)::BIGINT AS matched
+            FROM tr JOIN ev USING (ngram)
+            GROUP BY 1, 2
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on

@@ -388,6 +388,19 @@ def main() -> None:
         lambda: force(top_terms(docs, k=3)),
         repeat=2,
     )
+    from openie_spark.dataops.decontam import ngram_overlap
+
+    bench(
+        "ngram_overlap",
+        lambda: force(
+            ngram_overlap(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+                n=5,
+            )
+        ),
+        repeat=2,
+    )
     bench(
         "repetition",
         lambda: force(

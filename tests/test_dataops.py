@@ -1604,3 +1604,79 @@ def test_top_terms_and_tfidf_brute_force(spark):
             assert (
                 abs(scores[(did, t)] - tf * math.log(n / dfreq[t])) < 1e-12
             )
+
+
+def test_ngram_decontaminate_brute_force_and_plan(spark):
+    """ngram_overlap / ngram_decontaminate vs a pure-Python n-gram set
+    oracle: per-doc distinct-gram counts, short-doc guard (len < n must
+    yield NO grams — the sequence(1, size-n+1) expression would DESCEND
+    without the guard), min_matched thresholds, and the broadcast-join
+    plan shape (no cartesian, no Python in the plan)."""
+    from openie_spark.dataops.decontam import (
+        doc_ngrams,
+        ngram_decontaminate,
+        ngram_overlap,
+    )
+
+    train = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, "the quick brown fox sleeps"),  # shares a 3-gram with eval
+        (4, "tiny doc"),  # shorter than n — must never be flagged
+        (5, "a a a a a"),  # internal repetition → ONE distinct 3-gram
+    ]
+    evald = [
+        (100, "watch the quick brown fox jumps high"),
+        (101, "a a a a"),
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evald, "doc_id long, text string")
+
+    def grams(text, n):
+        t = text.lower().split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    for n in (3, 4, 6):
+        ev_set = set().union(*(grams(t, n) for _, t in evald))
+        exp = {}
+        for did, t in train:
+            g = grams(t, n)
+            m = len(g & ev_set)
+            if m:
+                exp[did] = (len(g), m)
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["matched"])
+            for r in ngram_overlap(tdf, edf, n=n).collect()
+        }
+        assert got == exp, (n, got, exp)
+
+        survivors = {
+            r["doc_id"]
+            for r in ngram_decontaminate(tdf, edf, n=n).collect()
+        }
+        assert survivors == {d for d, _ in train} - set(exp), n
+
+    # doc 5 has exactly one distinct 3-gram ("a a a") and it matches
+    row = [
+        r
+        for r in ngram_overlap(tdf, edf, n=3).collect()
+        if r["doc_id"] == 5
+    ][0]
+    assert (row["n_ngrams"], row["matched"]) == (1, 1)
+
+    # min_matched threshold: doc 1 shares 3 of the eval 3-grams, doc 3
+    # shares 2, doc 5 shares 1 — raising the bar keeps more docs
+    surv2 = {
+        r["doc_id"]
+        for r in ngram_decontaminate(tdf, edf, n=3, min_matched=3).collect()
+    }
+    assert surv2 == {2, 3, 4, 5}
+
+    plan = ngram_overlap(tdf, edf, n=3)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final[:2000]
+    assert "Cartesian" not in final and "BatchEvalPython" not in final
