@@ -877,6 +877,52 @@ def q_ngram_overlap(spark, sf_dir):
     )
 
 
+def q_k_hop(spark, sf_dir):
+    """K-hop neighborhood extraction (graph_analytics.py): every node
+    within 3 hops of supplier s1 on the undirected supplier-part supply
+    graph, with its exact minimum hop distance — the subgraph-export /
+    entity-context primitive a KG serves to RAG consumers. Nodes are
+    string-namespaced ('s'||key vs 'p'||key) because supplier and part
+    keys share an integer range. Frontier BFS: one frontier-vs-edges
+    join + one visited anti-join per hop, edge table repartitioned once.
+    Integer distances — layout- and engine-proof. Oracle: DuckDB
+    recursive CTE (UNION dedup) + min(dist) rollup."""
+    from openie_spark.graph_analytics import k_hop_neighborhood
+
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    return k_hop_neighborhood(edges, ["s1"], 3)
+
+
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counting (graph_analytics.py) on the strong
+    co-supply graph: suppliers joined when they co-supply >= 150 distinct
+    parts (sf0.01: 355 edges / 100 nodes, 287 triangles over 64 nodes) —
+    the clustering-coefficient numerator, a standard KG-density
+    diagnostic. Degree-ordered orientation bounds wedge fan-out at
+    O(sqrt(m)) per node, each triangle found exactly once; all counts
+    integers. Oracle: DuckDB 3-way self-join with u<v<w."""
+    from openie_spark.graph_analytics import triangle_count
+
+    li = _read(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 150)
+        .select("src", "dst")
+    )
+    return triangle_count(pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -924,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "top_terms": q_top_terms,
         "ngram_overlap": q_ngram_overlap,
+        "k_hop": q_k_hop,
+        "triangles": q_triangles,
     }
 
 
@@ -1484,6 +1532,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT tr.doc_id, n_ngrams, count(*)::BIGINT AS matched
             FROM tr JOIN ev USING (ngram)
             GROUP BY 1, 2
+        """,
+        # - k_hop: recursive CTE with UNION dedup — rows are (node, dist)
+        #   pairs so the recursion is bounded by nodes x k; min() rollup
+        #   recovers BFS distances. Integer distances, string node ids.
+        "k_hop": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+              FROM lineitem
+              UNION
+              SELECT DISTINCT 'p' || l_partkey, 's' || l_suppkey
+              FROM lineitem
+            ),
+            walk(node, dist) AS (
+              SELECT 's1', 0
+              UNION
+              SELECT e.d, walk.dist + 1
+              FROM walk JOIN e ON e.s = walk.node
+              WHERE walk.dist < 3
+            )
+            SELECT node, min(dist)::BIGINT AS dist
+            FROM walk GROUP BY node
+        """,
+        # - triangles: same co-supply graph, then the textbook 3-way
+        #   self-join with u<v<w (each triangle once), per-node unnest +
+        #   count. Pure integers end to end.
+        "triangles": """
+            WITH sp AS (
+              SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.s AS u, b.s AS v
+              FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+              GROUP BY 1, 2 HAVING count(*) >= 150
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM pairs e1
+              JOIN pairs e2 ON e1.v = e2.u
+              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+            )
+            SELECT node, count(*)::BIGINT AS triangles
+            FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+            GROUP BY node
         """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on

@@ -416,6 +416,41 @@ def main() -> None:
         repeat=2,
     )
 
+    from openie_spark.graph_analytics import k_hop_neighborhood, triangle_count
+
+    li_graph = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bench(
+        "k_hop",
+        lambda: force(
+            k_hop_neighborhood(
+                li_graph.select(
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                    F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+                ),
+                ["s1"],
+                3,
+            )
+        ),
+        repeat=2,
+    )
+
+    def _triangles():
+        sp = li_graph.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        ).distinct()
+        pairs = (
+            sp.alias("a")
+            .join(sp.alias("b"), "p")
+            .filter(F.col("a.s") < F.col("b.s"))
+            .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("co"))
+            .filter(F.col("co") >= 150)
+            .select("src", "dst")
+        )
+        return force(triangle_count(pairs))
+
+    bench("triangles", _triangles, repeat=2)
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if scale_x > 1:
         # plain replication (keys constant, 10× rows): measures the agg's

@@ -1,0 +1,167 @@
+"""Graph-analytics operators over the KG edge table: k-hop neighborhood
+extraction and triangle counting.
+
+These are the query-side complement to the construction pipeline
+(graph.py builds the node/edge tables; merge.py/topk.py rewrite them):
+a KG consumer asks "give me everything within k hops of this entity"
+(subgraph export, entity-context retrieval for RAG) and "how clustered
+is this node's neighborhood" (triangle counts → clustering coefficient,
+a standard KG-quality diagnostic). The reference (sudoandros/OpenIE)
+holds its graph in a single-process networkx object where these are
+one-liners; at 100 TB the edge table is distributed and the algorithms
+must be reshaped, not translated.
+
+Scale notes:
+- ``k_hop_neighborhood``: classic frontier BFS — per hop, ONE join of
+  the (small) frontier against the edge table and one anti-join against
+  the visited set. The edge table is repartitioned on the join key ONCE
+  and cached by the caller (or pass ``prepartition=True``); each hop
+  then shuffles only the frontier. Frontiers and the visited set are
+  localCheckpoint-materialized per hop (bounded lineage — the same
+  idiom as topk._reach, which this generalizes to a public operator).
+  k is a small constant (2-4 in practice) so the loop unrolls to a
+  handful of stages.
+- ``triangle_count``: the standard degree-ordered orientation (each
+  undirected edge directed from the (degree, id)-smaller endpoint) makes
+  every out-neighborhood O(sqrt(m)), so the wedge join's fan-out is
+  bounded even on power-law graphs — the all-pairs blowup a naive
+  wedge join has on hub nodes cannot happen. Three shuffles total:
+  degree count, wedge self-join on the low vertex, closing-edge
+  equi-join. All counts integers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _sym_edges(
+    edges: DataFrame, src: str, dst: str, directed: bool
+) -> DataFrame:
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    return e.filter(F.col("_s") != F.col("_d")).distinct()
+
+
+def k_hop_neighborhood(
+    edges: DataFrame,
+    seeds: Sequence,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = False,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """All nodes within ``k`` hops of ``seeds``, with their minimum hop
+    distance: (node, dist), dist in [0, k], seeds at 0. Undirected by
+    default (edges traversed both ways).
+
+    Distances are exact minimums by construction — each hop's frontier
+    is anti-joined against everything already visited, so a node is
+    emitted the FIRST time it is reached. Integer output: engine- and
+    partition-layout-portable.
+
+    ``seeds`` is a driver-side list (entity ids a user asks about — if
+    you have a DataFrame of seeds, collect is wrong at scale; pass it
+    through the same loop shape with a join instead). The edge table is
+    symmetrized + deduped once, repartitioned on the source key, and
+    cached for the k reuses; each hop shuffles only the frontier.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    spark = edges.sparkSession
+    e = _sym_edges(edges, src, dst, directed)
+    if k > 0:
+        parts = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        e = e.repartition(parts, "_s").persist()
+
+    seed_df = spark.createDataFrame(
+        [(s,) for s in seeds], f"node {edges.schema[src].dataType.simpleString()}"
+    ).distinct()
+    visited = seed_df.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("node")
+    try:
+        for hop in range(1, k + 1):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["_s"])
+                .select(F.col("_d").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("dist", F.lit(hop).cast("long"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            # both sides are materialized checkpoints — the union is a
+            # free lazy view, no re-checkpoint barrier (topk._reach idiom)
+            visited = visited.unionByName(nxt)
+            frontier = nxt.select("node")
+    finally:
+        if k > 0:
+            e.unpersist()
+    return visited
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count on the undirected simple graph induced by
+    ``edges`` (self-loops dropped, directions and duplicates collapsed):
+    (node, triangles) for every node incident to >= 1 triangle.
+
+    Degree-ordered orientation: rank nodes by (degree, id) and direct
+    each edge from the smaller endpoint — every triangle {a,b,c} then
+    has exactly ONE wedge-closing orientation (a->b, a->c, b->c with a
+    the smallest-ranked vertex), so each triangle is found once, and
+    out-degrees are O(sqrt(m)) which bounds the wedge join's fan-out on
+    hubs. The final per-node count explodes each triangle to its three
+    vertices and sums — integers end to end.
+    """
+    e = _sym_edges(edges, src, dst, directed=False)
+    # canonical undirected edge set (one row per {u,v})
+    und = e.filter(F.col("_s") < F.col("_d"))
+    deg = (
+        e.groupBy(F.col("_s").alias("n"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orientation key: (degree, id) — total order, deterministic
+    ranked = und.alias("u").join(
+        deg.alias("da"), F.col("u._s") == F.col("da.n")
+    ).join(deg.alias("db"), F.col("u._d") == F.col("db.n"))
+    lower_first = (F.col("da.deg") < F.col("db.deg")) | (
+        (F.col("da.deg") == F.col("db.deg")) & (F.col("u._s") < F.col("u._d"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("u._s")).otherwise(F.col("u._d")).alias("a"),
+        F.when(lower_first, F.col("u._d")).otherwise(F.col("u._s")).alias("b"),
+    )
+    # wedges from the low vertex: (a->b, a->c), b != c; close with b->c
+    # in EITHER orientation of the remaining edge — compare on the
+    # canonical (min, max) form so the closing join stays one equi-join.
+    w = oriented.alias("e1").join(oriented.alias("e2"), "a").filter(
+        F.col("e1.b") < F.col("e2.b")
+    )
+    wedges = w.select(
+        F.col("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    closing = und.select(F.col("_s").alias("b"), F.col("_d").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])
+    return (
+        tris.select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )

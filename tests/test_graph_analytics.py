@@ -1,0 +1,126 @@
+"""Brute-force oracles for openie_spark.graph_analytics: k-hop BFS vs a
+pure-Python frontier walk, triangle counts vs direct enumeration over a
+seeded random graph, plus shape edge cases (empty frontier early-stop,
+k=0, directed vs undirected, self-loops/duplicate edges collapsed)."""
+
+import random
+from collections import defaultdict
+
+import pytest
+
+from openie_spark.graph_analytics import k_hop_neighborhood, triangle_count
+
+
+def _random_edges(rng, n_nodes, n_edges):
+    return [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes))
+        for _ in range(n_edges)
+    ]
+
+
+def _bfs(edges, seeds, k, directed):
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u == v:
+            continue
+        adj[u].add(v)
+        if not directed:
+            adj[v].add(u)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, k + 1):
+        frontier = {
+            w for u in frontier for w in adj[u] if w not in dist
+        }
+        for w in frontier:
+            dist[w] = d
+    return dist
+
+
+def _triangles(edges):
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    per_node = defaultdict(int)
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            # each triangle seen once per edge => per node twice; use the
+            # canonical u<v<w check instead
+            if w > v:
+                per_node[u] += 1
+                per_node[v] += 1
+                per_node[w] += 1
+    return dict(per_node)
+
+
+def test_k_hop_matches_python_bfs(spark):
+    rng = random.Random(7)
+    edges = _random_edges(rng, 40, 120) + [(3, 3), (5, 9), (5, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for directed in (False, True):
+        for k in (0, 1, 3):
+            got = {
+                r["node"]: r["dist"]
+                for r in k_hop_neighborhood(
+                    df, [0, 17], k, directed=directed
+                ).collect()
+            }
+            assert got == _bfs(edges, [0, 17], k, directed), (directed, k)
+
+
+def test_k_hop_early_stop_and_string_nodes(spark):
+    # a 3-chain: BFS at k=10 must stop after the graph is exhausted
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in k_hop_neighborhood(df, ["a"], 10).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+    # directed: c unreachable backwards
+    got = {
+        r["node"]: r["dist"]
+        for r in k_hop_neighborhood(df, ["c"], 10, directed=True).collect()
+    }
+    assert got == {"c": 0}
+    with pytest.raises(ValueError):
+        k_hop_neighborhood(df, ["a"], -1)
+
+
+def test_triangle_count_matches_enumeration(spark):
+    rng = random.Random(13)
+    for trial, (n, m) in enumerate([(12, 30), (30, 120), (8, 6)]):
+        edges = _random_edges(rng, n, m)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["triangles"]
+            for r in triangle_count(df).collect()
+        }
+        assert got == _triangles(edges), trial
+    # direction/duplicates collapse: a triangle given twice in both
+    # orientations plus a self-loop still counts once per node
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["triangles"] for r in triangle_count(df).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_plan_no_cartesian(spark):
+    df = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)], "src long, dst long"
+    )
+    plan = triangle_count(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Cartesian" not in final, final[:2000]
+    assert "BatchEvalPython" not in final
