@@ -923,6 +923,32 @@ def q_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+def q_pagerank(spark, sf_dir):
+    """Quantized integer PageRank (graph_analytics.py) on a directed
+    supply graph: supplier->part edges from lineitem, plus the reversed
+    part->supplier edge for every fifth part — cycles AND dangling
+    sinks, the two things that make PageRank hard to oracle. All
+    arithmetic is bigint micros (contribution = rank div out_degree,
+    damping and the dangling share via integer div), so the fixpoint
+    iterate is bit-identical on any engine and any partition layout —
+    the only way an iterative float algorithm can live under this
+    repo's value-hash contract. 5 synchronous iterations; oracle is the
+    SAME recurrence unrolled as a DuckDB CTE chain (r0..r5) with `//`.
+    """
+    from openie_spark.graph_analytics import pagerank_micros
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    rev = li.filter(F.col("l_partkey") % 5 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank_micros(fwd.unionByName(rev), iterations=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -972,7 +998,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_overlap": q_ngram_overlap,
         "k_hop": q_k_hop,
         "triangles": q_triangles,
+        "pagerank": q_pagerank,
     }
+
+
+def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
+    """The pagerank_micros recurrence unrolled as a DuckDB CTE chain
+    (r0 -> r{iterations}); every operation is bigint `//`, the exact
+    mirror of Spark's `div`, so the two engines cannot disagree by even
+    one micro. Built by a loop because the driver compares a static SQL
+    string — the chain IS the independent second implementation (DuckDB
+    executes each iteration as its own joins/aggregates; nothing is
+    shared with the Spark loop)."""
+    parts = [
+        """
+        WITH e AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p' || l_partkey, 's' || l_suppkey
+            FROM lineitem WHERE l_partkey % 5 = 0
+          ) WHERE src <> dst
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        r0 AS (
+          SELECT node, (1000000 // n)::BIGINT AS rank_micros
+          FROM nodes CROSS JOIN nn
+        )"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f""",
+        d{i} AS (
+          SELECT coalesce(sum(r.rank_micros), 0)::BIGINT AS dang
+          FROM r{i} r LEFT JOIN deg ON r.node = deg.src
+          WHERE deg.src IS NULL
+        ),
+        c{i} AS (
+          SELECT e.dst AS node,
+                 sum(r.rank_micros // dg.deg)::BIGINT AS in_sum
+          FROM r{i} r
+          JOIN deg dg ON r.node = dg.src
+          JOIN e ON e.src = r.node
+          GROUP BY e.dst
+        ),
+        r{i + 1} AS (
+          SELECT nd.node,
+                 ((({100 - damping}) * 1000000 // 100) // nn.n
+                  + ({damping} * (coalesce(c.in_sum, 0) + d.dang // nn.n))
+                    // 100)::BIGINT AS rank_micros
+          FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} d
+          LEFT JOIN c{i} c ON c.node = nd.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, rank_micros FROM r{iterations}"""
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1576,6 +1662,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
         """,
+        # - pagerank: the integer-micros recurrence unrolled to a CTE
+        #   chain — DuckDB runs each iteration as its own join+agg over
+        #   the same edge/degree tables with `//`; Spark runs a loop
+        #   with `div`. Both floor on non-negative bigints, so the hash
+        #   is exact by construction, not by luck of the layout.
+        "pagerank": _pagerank_oracle(iterations=5, damping=85),
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on
         #   any engine, which is the operator's whole contract. Threshold

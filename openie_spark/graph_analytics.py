@@ -112,6 +112,111 @@ def k_hop_neighborhood(
     return visited
 
 
+def pagerank_micros(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Quantized PageRank: (node, rank_micros) after ``iterations``
+    synchronous power iterations, all arithmetic in INTEGER micro-units.
+
+    Why quantized: textbook float PageRank sums IEEE doubles in
+    partition order, so the same graph hashes differently per layout and
+    per engine — unacceptable under this repo's value-hash contract.
+    Here ranks are bigint micros of probability mass; a node's
+    contribution is ``rank // out_degree`` (floor division), damping is
+    ``(damping_pct * in_sum) // 100``, and dangling mass is
+    redistributed uniformly as ``dangling // N``. Integer addition is
+    associative and floor division is engine-portable, so the result is
+    bit-identical on ANY engine and ANY partition layout, within
+    ~iterations/1e6 of the float fixpoint (flooring only ever drops
+    sub-micro remainders; total mass shrinks by < N + dangling-remainder
+    micros per iteration — diagnostic, not drift).
+
+    Scale shape: the edge table (src, out_degree) is built once,
+    repartitioned on src, and cached; each iteration is ONE
+    ranks-vs-edges equi-join + ONE groupBy(dst) sum (map-side partial
+    agg) + a 1-row dangling scalar broadcast. Ranks are
+    localCheckpoint-materialized per iteration (bounded lineage). At
+    1000 executors this is the standard Pregel-unrolled topology; the
+    per-iteration shuffle keys on the same column so AQE reuses the
+    layout.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    spark = edges.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_micros", F.lit(0).cast("long"))
+    outdeg = e.groupBy(F.col("_s")).agg(F.count(F.lit(1)).alias("_deg"))
+    e_deg = e.join(outdeg, "_s").repartition(parts, "_s").persist()
+    # nodes with no out-edges — static across iterations
+    dangling_nodes = nodes.join(
+        outdeg.select(F.col("_s").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=True)
+    base = 1_000_000 // n  # uniform init
+    teleport = ((100 - damping_pct) * 1_000_000 // 100) // n
+    ranks = nodes.withColumn(
+        "rank_micros", F.lit(base).cast("long")
+    ).localCheckpoint(eager=True)
+    try:
+        for _ in range(iterations):
+            # `div` = integer floor division on bigints in BOTH Spark and
+            # the DuckDB oracle ( // ) — no float ever enters the math
+            contrib = (
+                ranks.join(e_deg, ranks["node"] == e_deg["_s"])
+                .select(
+                    F.col("_d").alias("node"),
+                    F.expr("rank_micros div _deg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("in_sum"))
+            )
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(
+                    F.coalesce(F.sum("rank_micros"), F.lit(0))
+                    .cast("long")
+                    .alias("dang")
+                )
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(in_sum, 0)"
+                            f" + (dang div {n}))) div 100"
+                        )
+                    ).alias("rank_micros"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e_deg.unpersist()
+    return ranks
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

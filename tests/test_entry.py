@@ -112,6 +112,7 @@ def test_minhash_banding_recall_exact_at_driver_sf(spark, duck_driver_sf):
         "node_aggregate",
         "events_rolling",
         "events_quantiles",
+        "pagerank",
     ],
 )
 def test_micros_sums_partition_order_independent(spark, name):

@@ -8,7 +8,11 @@ from collections import defaultdict
 
 import pytest
 
-from openie_spark.graph_analytics import k_hop_neighborhood, triangle_count
+from openie_spark.graph_analytics import (
+    k_hop_neighborhood,
+    pagerank_micros,
+    triangle_count,
+)
 
 
 def _random_edges(rng, n_nodes, n_edges):
@@ -110,6 +114,101 @@ def test_triangle_count_matches_enumeration(spark):
         r["node"]: r["triangles"] for r in triangle_count(df).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def _pagerank_int(edges, iterations, damping_pct=85):
+    """The exact integer recurrence pagerank_micros promises, over
+    dicts: contribution = rank // outdeg, dangling mass // n shared
+    uniformly, damped with integer // 100. Bit-for-bit comparable."""
+    e = sorted({(u, v) for u, v in edges if u != v})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out = defaultdict(list)
+    for u, v in e:
+        out[u].append(v)
+    base = 1_000_000 // n
+    tele = ((100 - damping_pct) * 1_000_000 // 100) // n
+    rank = {v: base for v in nodes}
+    for _ in range(iterations):
+        in_sum = defaultdict(int)
+        for u, vs in out.items():
+            c = rank[u] // len(vs)
+            for v in vs:
+                in_sum[v] += c
+        dang = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: tele + (damping_pct * (in_sum.get(v, 0) + dang // n)) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_micros_matches_integer_recurrence(spark):
+    rng = random.Random(21)
+    # random digraph with guaranteed dangling sinks + dup/self edges
+    edges = _random_edges(rng, 25, 80) + [(4, 4), (0, 30), (1, 31)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (0, 1, 4):
+        got = {
+            r["node"]: r["rank_micros"]
+            for r in pagerank_micros(df, iterations=iters).collect()
+        }
+        assert got == _pagerank_int(edges, iters), iters
+    # mass is conserved up to sub-micro flooring: never grows, and each
+    # iteration drops < n micros per floor site (contribs, dangling,
+    # teleport, damping) — assert the documented loose bound
+    n = len(got)
+    total = sum(got.values())
+    assert total <= 1_000_000
+    assert total > 1_000_000 - 4 * (3 * n + 200)
+
+
+def test_pagerank_micros_shapes(spark):
+    # pure self-loop graph -> no nodes survive -> empty frame, right cols
+    df = spark.createDataFrame([(1, 1)], "src long, dst long")
+    out = pagerank_micros(df, iterations=3)
+    assert out.columns == ["node", "rank_micros"]
+    assert out.count() == 0
+    # star: hub a -> {b,c,d}; all leaves dangling; leaves tie exactly
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d")], "src string, dst string"
+    )
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_micros(df, iterations=6).collect()
+    }
+    assert got == _pagerank_int(
+        [("a", "b"), ("a", "c"), ("a", "d")], 6
+    )
+    assert got["b"] == got["c"] == got["d"]
+    with pytest.raises(ValueError):
+        pagerank_micros(df, iterations=-1)
+
+
+def test_pagerank_micros_partition_layout_independent(spark):
+    """The operator's whole contract: integer arithmetic makes the
+    result identical under any shuffle layout."""
+    rng = random.Random(5)
+    edges = _random_edges(rng, 40, 160)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = sorted(
+            (r["node"], r["rank_micros"])
+            for r in pagerank_micros(df, iterations=3).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        many = sorted(
+            (r["node"], r["rank_micros"])
+            for r in pagerank_micros(df, iterations=3).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert one == many
+    assert one == sorted(_pagerank_int(edges, 3).items())
 
 
 def test_triangle_count_plan_no_cartesian(spark):
