@@ -923,6 +923,34 @@ def q_triangles(spark, sf_dir):
     return triangle_count(pairs)
 
 
+def q_exact_k_sample(spark, sf_dir):
+    """Exact-quota stratified sampling (dataops/sampling.py): exactly
+    min(k, stratum size) docs per source (k=10 of 25, the quota binds in every stratum), the k smallest md5 buckets —
+    the corpus-mixing primitive when the recipe demands exact counts,
+    with the prefix property (k-sample ⊆ k'-sample). Runs the SCALE
+    path (prefilter=True: Chernoff slice + verify + fallback) and must
+    equal the plain window the oracle computes — the prefilter is pure
+    optimization, invisible in the result."""
+    from openie_spark.dataops.sampling import exact_k_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return exact_k_sample(docs, k=10, salt="r7")
+
+
+def q_chunk_tokens(spark, sf_dir):
+    """Token-window chunking (dataops/chunking.py): 64-token windows,
+    16-token overlap, provenance columns (chunk_id, start_token,
+    n_tokens) — the context-length splitter between cleaning and
+    tokenization. Pure JVM array expressions, narrow (no shuffle).
+    Oracle: DuckDB range() starts + inclusive list slicing."""
+    from openie_spark.dataops.chunking import chunk_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_tokens(docs, size=64, overlap=16)
+
+
 def q_pagerank(spark, sf_dir):
     """Quantized integer PageRank (graph_analytics.py) on a directed
     supply graph: supplier->part edges from lineitem, plus the reversed
@@ -999,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_hop": q_k_hop,
         "triangles": q_triangles,
         "pagerank": q_pagerank,
+        "exact_k_sample": q_exact_k_sample,
+        "chunk_tokens": q_chunk_tokens,
     }
 
 
@@ -1668,6 +1698,46 @@ def oracle_sql() -> dict[str, str]:
         #   with `div`. Both floor on non-negative bigints, so the hash
         #   is exact by construction, not by luck of the layout.
         "pagerank": _pagerank_oracle(iterations=5, damping=85),
+        # - exact_k_sample: the plain per-stratum window the operator's
+        #   prefilter path must be indistinguishable from — QUALIFY over
+        #   the identical md5 bucket order with the identical tiebreak.
+        "exact_k_sample": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5('r7' || doc_id::VARCHAR), 1, 8),
+                                doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 10
+        """,
+        # - chunk_tokens: range() starts (exclusive stop == Spark's
+        #   inclusive n-1 sequence), the same s=0-or-new-token filter,
+        #   DuckDB's 1-based INCLUSIVE list slice mirroring slice(toks,
+        #   s+1, size). Integer spans + rejoined text, engine-portable.
+        "chunk_tokens": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split({norm}, ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            base AS (SELECT doc_id, toks, len(toks) AS n FROM t
+                     WHERE len(toks) >= 1),
+            starts AS (
+              SELECT doc_id, toks, n,
+                     unnest(range(0, n, 48)) AS s
+              FROM base
+            )
+            SELECT doc_id,
+                   (s // 48)::BIGINT AS chunk_id,
+                   s::BIGINT AS start_token,
+                   least(64, n - s)::BIGINT AS n_tokens,
+                   array_to_string(toks[s + 1 : s + 64], ' ') AS chunk
+            FROM starts
+            WHERE s = 0 OR s + 16 < n
+        """,
         # - hash_sample: the identical md5-bucket decision in DuckDB —
         #   deterministic sampling must reproduce the exact row set on
         #   any engine, which is the operator's whole contract. Threshold

@@ -451,6 +451,21 @@ def main() -> None:
 
     bench("triangles", _triangles, repeat=2)
 
+    from openie_spark.graph_analytics import pagerank_micros
+
+    def _pagerank():
+        fwd = li_graph.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        rev = li_graph.filter(F.col("l_partkey") % 5 == 0).select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        return force(pagerank_micros(fwd.unionByName(rev), iterations=5))
+
+    bench("pagerank", _pagerank, repeat=2)
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if scale_x > 1:
         # plain replication (keys constant, 10× rows): measures the agg's

@@ -1159,6 +1159,100 @@ def test_hash_sample_deterministic_nested_stratified(spark):
     }
 
 
+def test_exact_k_sample_quota_prefix_and_prefilter_equivalence(spark):
+    """exact_k_sample: exactly min(k, stratum size) rows per stratum,
+    equal to the brute-force md5-order prefix; prefilter=True (the
+    scale path: Chernoff slice + verify + deficiency fallback) returns
+    the identical row set as prefilter=False; k-sample is a prefix of
+    the k'-sample; layout-independent."""
+    import hashlib
+
+    from openie_spark.dataops.sampling import exact_k_sample
+
+    rows = [(i, "s1" if i % 3 else "s2") for i in range(900)] + [
+        (1000 + i, "tiny") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def brute(k):
+        by = {}
+        for i, s in rows:
+            b = hashlib.md5(f"x{i}".encode()).hexdigest()[:8]
+            by.setdefault(s, []).append((b, i))
+        out = set()
+        for s, lst in by.items():
+            out |= {i for _, i in sorted(lst)[:k]}
+        return out
+
+    ids = lambda d: {r["doc_id"] for r in d.collect()}
+    for k in (7, 50):
+        want = brute(k)
+        assert ids(exact_k_sample(df, k, salt="x")) == want, k
+        assert (
+            ids(exact_k_sample(df, k, salt="x", prefilter=False)) == want
+        ), k
+    # tiny stratum (5 < k): whole stratum kept, quota exact elsewhere
+    got = exact_k_sample(df, 50, salt="x")
+    per = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"s1": 50, "s2": 50, "tiny": 5}
+    # prefix property + layout independence
+    assert ids(exact_k_sample(df, 7, salt="x")) <= ids(
+        exact_k_sample(df, 50, salt="x")
+    )
+    assert ids(exact_k_sample(df.repartition(13), 7, salt="x")) == brute(7)
+    with pytest.raises(ValueError):
+        exact_k_sample(df, 0)
+
+
+def test_chunk_tokens_policy_and_edges(spark):
+    """chunk_tokens vs a brute-force Python splitter: stride/overlap
+    policy, no tail chunk that is a sub-span of its predecessor, short
+    doc -> one chunk, empty doc -> none, exact token spans, chunk text
+    rejoins the normalized tokens."""
+    from openie_spark.dataops.chunking import chunk_tokens
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(10))),
+        (2, "a b c"),
+        (3, ""),
+        (4, "  lots\t of   WHITESPACE\n here  "),
+        (5, " ".join(f"w{i}" for i in range(8))),  # n == size
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(text, size, overlap):
+        toks = text.lower().split()
+        n, stride, out = len(toks), size - overlap, []
+        for s in range(0, max(n, 1), stride):
+            if s >= n:
+                break
+            if s > 0 and s + overlap >= n:
+                continue
+            w = toks[s : s + size]
+            out.append((s // stride, s, len(w), " ".join(w)))
+        return out
+
+    for size, overlap in ((8, 4), (4, 0), (5, 2)):
+        got = {
+            (r["doc_id"], r["chunk_id"], r["start_token"], r["n_tokens"],
+             r["chunk"])
+            for r in chunk_tokens(df, size, overlap).collect()
+        }
+        want = {
+            (d, *c)
+            for d, text in docs
+            for c in brute(text, size, overlap)
+        }
+        assert got == want, (size, overlap)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, 0)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, 4, 4)
+
+
 def test_interval_join_brute_force_and_plan(spark):
     """interval_join (binned equi-join shape): exact match set vs a
     brute-force BETWEEN scan on planted data that exercises every edge —
