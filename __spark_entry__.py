@@ -951,6 +951,28 @@ def q_chunk_tokens(spark, sf_dir):
     return chunk_tokens(docs, size=64, overlap=16)
 
 
+def q_approx_distinct(spark, sf_dir):
+    """Integer HyperLogLog (dataops/cardinality.py): per-source
+    approximate distinct-token counts — the vocabulary-size / corpus-
+    diversity profile a mixing recipe reads, as a MERGEABLE sketch
+    (plain (group, bucket, rho) register table, max-merge) instead of
+    Spark's opaque HLL++ bytes. The estimate is one bigint floor
+    division over a 2^21-scaled harmonic denominator, so the sketch
+    AND the estimate are bit-identical on any engine/layout — an
+    approximate operator under a full value-hash oracle."""
+    from openie_spark.dataops.cardinality import approx_distinct
+    from openie_spark.dataops.dedup import normalized_text
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.array_remove(F.split(normalized_text("text"), " "), "")
+        ).alias("tok"),
+    )
+    return approx_distinct(toks, ["source"], "tok")
+
+
 def q_pagerank(spark, sf_dir):
     """Quantized integer PageRank (graph_analytics.py) on a directed
     supply graph: supplier->part edges from lineitem, plus the reversed
@@ -1029,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "exact_k_sample": q_exact_k_sample,
         "chunk_tokens": q_chunk_tokens,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1698,6 +1721,42 @@ def oracle_sql() -> dict[str, str]:
         #   with `div`. Both floor on non-negative bigints, so the hash
         #   is exact by construction, not by luck of the layout.
         "pagerank": _pagerank_oracle(iterations=5, damping=85),
+        # - approx_distinct: DuckDB re-runs the ENTIRE integer HLL
+        #   pipeline — same md5 slices (bucket = first 8 bits, rho =
+        #   21 - length(bin(next 20 bits))), same max registers, same
+        #   2^21-scaled bigint harmonic denominator, same single floor
+        #   division — so even the approximation is hash-exact. The
+        #   constants mirror cardinality.py (ALPHA_MICROS=718272,
+        #   EST_NUMERATOR = alpha * 256^2 * 2^21).
+        "approx_distinct": f"""
+            WITH vals AS (
+              SELECT source,
+                     unnest(list_filter(string_split({norm}, ' '),
+                                        x -> x <> '')) AS tok
+              FROM documents
+            ),
+            br AS (
+              SELECT source,
+                     ('0x' || substr(md5(tok), 1, 2))::INT AS bucket,
+                     CASE WHEN ('0x' || substr(md5(tok), 3, 5))::BIGINT = 0
+                          THEN 21
+                          ELSE 21 - length(bin(
+                               ('0x' || substr(md5(tok), 3, 5))::BIGINT))
+                     END AS rho
+              FROM vals
+            ),
+            regs AS (
+              SELECT source, bucket, max(rho) AS rho
+              FROM br GROUP BY 1, 2
+            )
+            SELECT source,
+                   ({718_272 * 256 * 256 * (1 << 21)} //
+                    ((sum((1::BIGINT << (21 - rho)))::BIGINT
+                      + (256 - count(*)) * {1 << 21}) * 1000000)
+                   )::BIGINT AS est_distinct,
+                   count(*)::BIGINT AS registers_used
+            FROM regs GROUP BY source
+        """,
         # - exact_k_sample: the plain per-stratum window the operator's
         #   prefilter path must be indistinguishable from — QUALIFY over
         #   the identical md5 bucket order with the identical tiebreak.
