@@ -951,6 +951,24 @@ def q_chunk_tokens(spark, sf_dir):
     return chunk_tokens(docs, size=64, overlap=16)
 
 
+def q_upsample(spark, sf_dir):
+    """Epoch-weighted corpus mixing (dataops/sampling.py upsample):
+    repeat src0 3.2x (3 copies + a deterministic 20% get a 4th), halve
+    src1, drop src2, keep the rest 1x — the data-recipe primitive,
+    with a 0-based epoch column so copies shard into different
+    training epochs. One explode(sequence), no shuffle, no RNG: the
+    fractional-copy decision is the same md5 bucket as hash_sample, so
+    the recipe composes with the nested-sample guarantees."""
+    from openie_spark.dataops.sampling import upsample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample(
+        docs,
+        weights={"src0": 3.2, "src1": 0.5, "src2": 0.0},
+        salt="r7m",
+    )
+
+
 def q_approx_distinct(spark, sf_dir):
     """Integer HyperLogLog (dataops/cardinality.py): per-source
     approximate distinct-token counts — the vocabulary-size / corpus-
@@ -1052,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_k_sample": q_exact_k_sample,
         "chunk_tokens": q_chunk_tokens,
         "approx_distinct": q_approx_distinct,
+        "upsample": q_upsample,
     }
 
 
@@ -1721,6 +1740,30 @@ def oracle_sql() -> dict[str, str]:
         #   with `div`. Both floor on non-negative bigints, so the hash
         #   is exact by construction, not by luck of the layout.
         "pagerank": _pagerank_oracle(iterations=5, damping=85),
+        # - upsample: copy counts rebuilt in SQL — floor(w) plus the
+        #   md5-threshold fractional copy (thresholds from the
+        #   operator's own _hex_threshold via the identical w - int(w)
+        #   float op), unnest(range(0, n)) as the epoch index. range()
+        #   on n=0 is empty, so weight-0 strata vanish exactly like the
+        #   operator's empty-array explode.
+        "upsample": f"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     CASE source
+                       WHEN 'src0' THEN 3 + CASE
+                         WHEN substr(md5('r7m' || doc_id::VARCHAR), 1, 8)
+                              < '{_sampling_thr(3.2 - 3)}' THEN 1 ELSE 0 END
+                       WHEN 'src1' THEN CASE
+                         WHEN substr(md5('r7m' || doc_id::VARCHAR), 1, 8)
+                              < '{_sampling_thr(0.5)}' THEN 1 ELSE 0 END
+                       WHEN 'src2' THEN 0
+                       ELSE 1
+                     END AS n
+              FROM documents
+            )
+            SELECT doc_id, source, unnest(range(0, n))::BIGINT AS epoch
+            FROM base
+        """,
         # - approx_distinct: DuckDB re-runs the ENTIRE integer HLL
         #   pipeline — same md5 slices (bucket = first 8 bits, rho =
         #   21 - length(bin(next 20 bits))), same max registers, same

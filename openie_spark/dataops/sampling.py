@@ -74,6 +74,65 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(key_col, salt) < thr)
 
 
+def upsample(
+    df: DataFrame,
+    weights: Dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Epoch-weighted corpus mixing — the data-recipe primitive for
+    "repeat wiki 3.2x, common-crawl 0.5x": every row appears
+    ``floor(w)`` times plus one more iff its key hash falls under the
+    fractional part, so a weight of 3.2 repeats EVERY doc 3 times and
+    a deterministic 20% of docs a 4th — giving exactly the recipe's
+    expected token mix without a random generator anywhere. Weights
+    < 1 degrade to plain stratified sampling. Output adds ``epoch_col``
+    (0-based copy index) so downstream shuffling/sharding can keep
+    copies of a document in different training epochs.
+
+    Determinism contract (same as the other samplers): the decision is
+    ``md5(salt || key)`` — same rows, same copy counts, on any engine,
+    any layout, any rerun. The fractional-copy row set at weight w+f
+    equals the ``hash_sample(f)`` row set, so recipes compose with the
+    nested-sample property.
+
+    Scale shape: one ``explode(sequence(...))`` — a narrow map, no
+    shuffle, no UDF; the fan-out is the weight itself (the minimum any
+    upsampler must write). Skew note: upsampling multiplies a
+    stratum's rows; if a downstream groupBy keys on the stratum, salt
+    that key — the copies land in the SAME partition otherwise.
+    """
+    for v, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight must be >= 0: {v}={w}")
+    if default_weight < 0:
+        raise ValueError(f"default_weight must be >= 0: {default_weight}")
+
+    def _n_copies(w: float) -> F.Column:
+        whole = int(w)
+        frac = w - whole
+        extra = (
+            hash_bucket(key_col, salt) < F.lit(_hex_threshold(frac))
+        ).cast("int")
+        return F.lit(whole) + extra
+
+    n = _n_copies(default_weight)
+    for value, w in sorted(weights.items()):
+        n = F.when(F.col(stratum_col) == value, _n_copies(w)).otherwise(n)
+    return df.withColumn("_n", n).select(
+        "*",
+        F.explode(
+            F.when(
+                F.col("_n") >= 1,
+                F.sequence(F.lit(0), F.col("_n") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias(epoch_col),
+    ).drop("_n").withColumn(epoch_col, F.col(epoch_col).cast("long"))
+
+
 def exact_k_sample(
     df: DataFrame,
     k: int,

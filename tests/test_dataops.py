@@ -1253,6 +1253,62 @@ def test_chunk_tokens_policy_and_edges(spark):
         chunk_tokens(df, 4, 4)
 
 
+def test_upsample_epoch_weights_brute_force(spark):
+    """upsample vs a Python md5 replica: floor(w) copies + one more iff
+    the key hash is under the fractional threshold; weight 0 drops the
+    stratum; the fractional-copy row set equals hash_sample(frac) at
+    the same salt (recipes compose); layout-independent."""
+    import hashlib
+
+    from openie_spark.dataops.sampling import hash_sample, upsample
+
+    rows = [(i, f"s{i % 4}") for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"s0": 3.2, "s1": 0.5, "s2": 0.0}  # s3 -> default 1.0
+
+    def brute():
+        out = set()
+        for i, s in rows:
+            w = weights.get(s, 1.0)
+            whole, frac = int(w), w - int(w)
+            n = whole
+            if frac > 0:
+                b = hashlib.md5(f"m{i}".encode()).hexdigest()[:8]
+                if b < format(int(frac * 2**32), "08x"):
+                    n += 1
+            out |= {(i, s, e) for e in range(n)}
+        return out
+
+    got = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in upsample(df, weights, salt="m").collect()
+    }
+    want = brute()
+    assert got == want
+    assert not any(s == "s2" for _, s, _ in got)
+    # every s0 doc appears >= 3 times; ~20% appear 4 times
+    s0_counts = {}
+    for i, s, e in got:
+        if s == "s0":
+            s0_counts[i] = max(s0_counts.get(i, 0), e + 1)
+    assert set(s0_counts.values()) <= {3, 4}
+    assert 0.05 < sum(1 for v in s0_counts.values() if v == 4) / 200 < 0.4
+    # fractional copies == hash_sample at the fraction (composition)
+    s1_frac = {i for i, s, e in got if s == "s1"}
+    s1_df = df.filter(F.col("source") == "s1")
+    assert s1_frac == {
+        r["doc_id"] for r in hash_sample(s1_df, 0.5, salt="m").collect()
+    }
+    # layout independence
+    got_rep = {
+        (r["doc_id"], r["source"], r["epoch"])
+        for r in upsample(df.repartition(13), weights, salt="m").collect()
+    }
+    assert got_rep == want
+    with pytest.raises(ValueError):
+        upsample(df, {"s0": -1.0})
+
+
 def test_hll_approx_distinct_integer_parity_and_mergeability(spark):
     """approx_distinct (integer HLL): bit-exact vs a pure-Python
     replica of the documented integer pipeline; duplicate-absorbing
