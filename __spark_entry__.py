@@ -969,6 +969,27 @@ def q_upsample(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing (dataops/packing.py): greedy in-order fill of
+    256-token training windows with the 64/16 chunks of q_chunk_tokens
+    — the padding-elimination step between chunking and tokenization.
+    A running-remainder recurrence no window algebra expresses: the
+    repo's documented Arrow applyInPandas tier, one shuffle on the
+    shard key, linear scan per shard, integer state throughout (the
+    DuckDB oracle replays the recurrence as a recursive CTE and must
+    match bit-for-bit)."""
+    from openie_spark.dataops.chunking import chunk_tokens
+    from openie_spark.dataops.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    chunks = chunk_tokens(docs, size=64, overlap=16).select(
+        (F.col("doc_id") % 4).alias("shard"),
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("item_id"),
+        "n_tokens",
+    )
+    return pack_sequences(chunks, capacity=256)
+
+
 def q_approx_distinct(spark, sf_dir):
     """Integer HyperLogLog (dataops/cardinality.py): per-source
     approximate distinct-token counts — the vocabulary-size / corpus-
@@ -1071,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "approx_distinct": q_approx_distinct,
         "upsample": q_upsample,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1740,6 +1762,54 @@ def oracle_sql() -> dict[str, str]:
         #   with `div`. Both floor on non-negative bigints, so the hash
         #   is exact by construction, not by luck of the layout.
         "pagerank": _pagerank_oracle(iterations=5, damping=85),
+        # - pack_sequences: the greedy running-remainder recurrence
+        #   replayed as a DuckDB RECURSIVE CTE stepping row_number
+        #   within each shard — a genuinely independent second
+        #   implementation of a stateful scan (Spark runs it as an
+        #   Arrow applyInPandas per shard). All-integer state, so the
+        #   match is exact. Chunk derivation mirrors chunk_tokens.
+        "pack_sequences": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_filter(string_split({norm}, ' '),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            base AS (SELECT doc_id, len(toks) AS n FROM t
+                     WHERE len(toks) >= 1),
+            starts AS (
+              SELECT doc_id, n, unnest(range(0, n, 48)) AS s FROM base
+            ),
+            chunks AS (
+              SELECT doc_id % 4 AS shard,
+                     doc_id * 1000 + (s // 48) AS item_id,
+                     least(64, n - s)::BIGINT AS n_tokens
+              FROM starts WHERE s = 0 OR s + 16 < n
+            ),
+            items AS (
+              SELECT shard, item_id, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY shard ORDER BY item_id
+                     ) AS rn
+              FROM chunks
+            ),
+            walk(shard, rn, item_id, n_tokens, pack_id, fill) AS (
+              SELECT shard, rn, item_id, n_tokens, 0::BIGINT, n_tokens
+              FROM items WHERE rn = 1
+              UNION ALL
+              SELECT i.shard, i.rn, i.item_id, i.n_tokens,
+                     CASE WHEN w.fill + i.n_tokens > 256
+                          THEN w.pack_id + 1 ELSE w.pack_id END,
+                     CASE WHEN w.fill + i.n_tokens > 256
+                          THEN i.n_tokens ELSE w.fill + i.n_tokens END
+              FROM walk w
+              JOIN items i ON i.shard = w.shard AND i.rn = w.rn + 1
+            )
+            SELECT shard, item_id, n_tokens, pack_id,
+                   (fill - n_tokens)::BIGINT AS offset,
+                   n_tokens > 256 AS overflow
+            FROM walk
+        """,
         # - upsample: copy counts rebuilt in SQL — floor(w) plus the
         #   md5-threshold fractional copy (thresholds from the
         #   operator's own _hex_threshold via the identical w - int(w)

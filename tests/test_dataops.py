@@ -1309,6 +1309,62 @@ def test_upsample_epoch_weights_brute_force(spark):
         upsample(df, {"s0": -1.0})
 
 
+def test_pack_sequences_greedy_brute_force(spark):
+    """pack_sequences vs a Python greedy replay: exact-fit boundary
+    (fill + len == capacity stays in the pack), overflow items alone in
+    their own pack, per-shard independence, id-order scan, offsets
+    partition each pack contiguously, layout independence."""
+    import random
+
+    from openie_spark.dataops.packing import pack_sequences
+
+    rng = random.Random(11)
+    rows = [
+        (i % 3, i, rng.choice([10, 30, 50, 100, 128, 130]))
+        for i in range(120)
+    ]
+    # planted edges: exact fit (64+64), oversize (200 > 128)
+    rows += [(9, 0, 64), (9, 1, 64), (9, 2, 200), (9, 3, 5)]
+    df = spark.createDataFrame(rows, "shard long, item_id long, n_tokens long")
+    cap = 128
+
+    def brute():
+        by = {}
+        for s, i, ln in rows:
+            by.setdefault(s, []).append((i, ln))
+        out = {}
+        for s, items in by.items():
+            pack, fill, first = 0, 0, True
+            for i, ln in sorted(items):
+                if first:
+                    first, fill = False, ln
+                elif fill + ln > cap:
+                    pack, fill = pack + 1, ln
+                else:
+                    fill += ln
+                out[(s, i)] = (pack, fill - ln, ln > cap)
+        return out
+
+    got = {
+        (r["shard"], r["item_id"]): (r["pack_id"], r["offset"], r["overflow"])
+        for r in pack_sequences(df, cap).collect()
+    }
+    assert got == brute()
+    # exact fit stayed; oversize alone
+    assert got[(9, 0)] == (0, 0, False)
+    assert got[(9, 1)] == (0, 64, False)  # 64+64 == cap -> same pack
+    assert got[(9, 2)] == (1, 0, True)
+    assert got[(9, 3)] == (2, 0, False)  # nothing joins after overflow
+    # layout independence
+    got_rep = {
+        (r["shard"], r["item_id"]): (r["pack_id"], r["offset"], r["overflow"])
+        for r in pack_sequences(df.repartition(17), cap).collect()
+    }
+    assert got_rep == got
+    with pytest.raises(ValueError):
+        pack_sequences(df, 0)
+
+
 def test_hll_approx_distinct_integer_parity_and_mergeability(spark):
     """approx_distinct (integer HLL): bit-exact vs a pure-Python
     replica of the documented integer pipeline; duplicate-absorbing

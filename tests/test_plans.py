@@ -186,3 +186,40 @@ def test_ivf_query_batch_plan_broadcast_cell_join(spark):
     assert "CartesianProduct" not in splan
     assert "BroadcastNestedLoopJoin" not in splan
     index.unpersist()
+
+
+def test_chunking_and_mixing_are_shuffle_free(spark):
+    """chunk_tokens and upsample promise narrow, shuffle-free plans —
+    at 100 TB an accidental Exchange here would re-shuffle the whole
+    corpus for operators that are pure per-row fan-out."""
+    from openie_spark.dataops.chunking import chunk_tokens
+    from openie_spark.dataops.sampling import upsample
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * 40) for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    for df in (
+        chunk_tokens(docs, size=16, overlap=4),
+        upsample(docs, {"s0": 2.5}, salt="x"),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan, plan[:2000]
+        assert "BatchEvalPython" not in plan
+
+
+def test_hll_aggs_have_mapside_partial_combine(spark):
+    """approx_distinct: exactly two exchanges (register agg, then
+    estimate agg), each preceded by a partial HashAggregate — the
+    map-side combine that keeps the shuffled register table at
+    groups*256 rows regardless of input size."""
+    from openie_spark.dataops.cardinality import approx_distinct
+
+    df = spark.createDataFrame(
+        [(f"g{i % 4}", f"v{i % 97}") for i in range(500)],
+        "grp string, val string",
+    )
+    plan = _plan(approx_distinct(df, ["grp"], "val"))
+    assert plan.count("Exchange") <= 2, plan[:3000]
+    assert "partial_max" in plan or "partial" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
