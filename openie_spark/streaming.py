@@ -591,3 +591,87 @@ def gc_dedup_state(spark: SparkSession, state_dir: str, keep: int = 2) -> int:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/v{v:08d}"), True)
         removed += 1
     return removed
+
+
+_CARD_STATE_TABLES = ("registers",)
+
+
+def make_cardinality_refresh(
+    state_dir: str,
+    group_cols,
+    value_col: str,
+):
+    """foreachBatch callable for a streaming distinct-count dashboard:
+    each micro-batch's HLL register table (dataops/cardinality.py) is
+    max-merged with the previous state version into an immutable
+    ``v{epoch}/registers`` snapshot. Max-merge is idempotent AND the
+    old-state lookup is bounded strictly below the epoch (the same
+    retry guard as the graph/dedup refreshes), so a replayed epoch —
+    completed write, uncommitted checkpoint — is a no-op twice over.
+    State size is bounded at groups*256 rows per version regardless of
+    stream volume; the registers stay a PLAIN table, so any engine can
+    read a snapshot and estimate."""
+    from .dataops.cardinality import hll_merge, hll_registers
+
+    group_cols = list(group_cols)
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = hll_registers(batch_df, group_cols, value_col)
+        cur = _latest_state_version(
+            spark,
+            state_dir,
+            max_version=int(epoch_id) - 1,
+            tables=_CARD_STATE_TABLES,
+        )
+        if cur is not None:
+            old = spark.read.parquet(f"{state_dir}/v{cur:08d}/registers")
+            new = hll_merge(old, delta)
+        else:
+            new = delta
+        new.write.mode("overwrite").parquet(
+            f"{state_dir}/v{int(epoch_id):08d}/registers"
+        )
+
+    return refresh
+
+
+def start_cardinality_refresh(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols,
+    value_col: str,
+    trigger_seconds: Optional[int] = None,
+):
+    """Wire :func:`make_cardinality_refresh` as a foreachBatch sink."""
+    refresh = make_cardinality_refresh(state_dir, group_cols, value_col)
+    writer = (
+        stream_df.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cardinality(spark: SparkSession, state_dir: str):
+    """Estimates from the latest COMPLETE register snapshot — (group...,
+    est_distinct, registers_used), or None before the first version.
+    Because registers max-merge, the stream-folded snapshot is
+    IDENTICAL to batch hll_registers over the concatenated input, and
+    the estimate inherits the batch operator's bit-exact integer
+    contract."""
+    from .dataops.cardinality import hll_estimate
+
+    cur = _latest_state_version(
+        spark, state_dir, tables=_CARD_STATE_TABLES
+    )
+    if cur is None:
+        return None
+    return hll_estimate(
+        spark.read.parquet(f"{state_dir}/v{cur:08d}/registers")
+    )

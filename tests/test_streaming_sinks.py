@@ -495,3 +495,82 @@ def test_incremental_graph_refresh_equals_batch(spark, tmp_path):
     assert removed == len(versions) - 1
     n2, e2 = read_graph_state(spark, str(tmp_path / "graph_state"))
     assert _graph_snapshot(n2, e2) == want
+
+
+def test_streaming_cardinality_equals_batch_and_retry_idempotent(
+    spark, tmp_path
+):
+    """Streaming HLL refresh: the stream-folded register snapshot must
+    be IDENTICAL (registers and estimates) to batch hll_registers over
+    the concatenated input — max-merge makes fold order irrelevant —
+    and a replayed epoch must be a no-op (idempotent max + the
+    strictly-below-epoch state guard). Also: before any version exists
+    read_cardinality returns None; estimates readable after gc."""
+    import os
+
+    from openie_spark.dataops.cardinality import hll_estimate, hll_registers
+    from openie_spark.streaming import (
+        make_cardinality_refresh,
+        read_cardinality,
+        start_cardinality_refresh,
+    )
+
+    batches = [
+        [(f"g{i % 2}", f"tok{(i * 7 + b) % 50}") for i in range(40)]
+        for b in range(3)
+    ]
+    src = tmp_path / "drops"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "grp string, val string").coalesce(
+            1
+        ).write.parquet(str(src / f"part{i}"))
+
+    assert read_cardinality(spark, str(tmp_path / "state")) is None
+
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_cardinality_refresh(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        ["grp"],
+        "val",
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["grp"], r["est_distinct"], r["registers_used"])
+        for r in read_cardinality(spark, str(tmp_path / "state")).collect()
+    }
+    all_rows = [r for rows in batches for r in rows]
+    all_df = spark.createDataFrame(all_rows, "grp string, val string")
+    want = {
+        (r["grp"], r["est_distinct"], r["registers_used"])
+        for r in hll_estimate(hll_registers(all_df, ["grp"], "val")).collect()
+    }
+    assert got == want
+    n_versions = len(
+        [d for d in os.listdir(tmp_path / "state") if d.startswith("v")]
+    )
+    assert n_versions == 3
+
+    # retry idempotency on a fresh state dir driven by hand
+    state2 = tmp_path / "state2"
+    refresh = make_cardinality_refresh(str(state2), ["grp"], "val")
+    d0 = spark.createDataFrame(batches[0], "grp string, val string")
+    d1 = spark.createDataFrame(batches[1], "grp string, val string")
+    refresh(d0, 0)
+    refresh(d1, 1)
+    once = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state2}/v00000001/registers").collect()
+    }
+    refresh(d1, 1)  # replay epoch 1 verbatim
+    twice = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state2}/v00000001/registers").collect()
+    }
+    assert once == twice
