@@ -1012,6 +1012,31 @@ def q_approx_distinct(spark, sf_dir):
     return approx_distinct(toks, ["source"], "tok")
 
 
+def q_clustering_coeff(spark, sf_dir):
+    """Per-node local clustering coefficient (graph_analytics.py) on
+    the same strong co-supply graph as q_triangles — (degree,
+    triangles, wedges, coeff_micros) with coeff_micros = floor(1e6 *
+    tri / C(deg,2)): all-integer, so the density diagnostic sits under
+    the full hash contract. Triangle-free and degree-1 nodes included
+    with coefficient 0."""
+    from openie_spark.graph_analytics import clustering_coefficients
+
+    li = _read(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 150)
+        .select("src", "dst")
+    )
+    return clustering_coefficients(pairs)
+
+
 def q_pagerank(spark, sf_dir):
     """Quantized integer PageRank (graph_analytics.py) on a directed
     supply graph: supplier->part edges from lineitem, plus the reversed
@@ -1093,6 +1118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct": q_approx_distinct,
         "upsample": q_upsample,
         "pack_sequences": q_pack_sequences,
+        "clustering_coeff": q_clustering_coeff,
     }
 
 
@@ -1755,6 +1781,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*)::BIGINT AS triangles
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
+        """,
+        # - clustering_coeff: the triangles oracle composed with a
+        #   UNION ALL degree count over the same canonical pair set;
+        #   wedges and coeff_micros via integer `//` exactly like the
+        #   operator's `div`.
+        "clustering_coeff": """
+            WITH sp AS (
+              SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.s AS u, b.s AS v
+              FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+              GROUP BY 1, 2 HAVING count(*) >= 150
+            ),
+            deg AS (
+              SELECT node, count(*)::BIGINT AS degree FROM (
+                SELECT u AS node FROM pairs
+                UNION ALL SELECT v FROM pairs
+              ) GROUP BY node
+            ),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM pairs e1
+              JOIN pairs e2 ON e1.v = e2.u
+              JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v
+            ),
+            tcount AS (
+              SELECT node, count(*)::BIGINT AS triangles
+              FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+              GROUP BY node
+            )
+            SELECT d.node, d.degree,
+                   coalesce(t.triangles, 0)::BIGINT AS triangles,
+                   (d.degree * (d.degree - 1) // 2)::BIGINT AS wedges,
+                   (CASE WHEN d.degree >= 2
+                         THEN (1000000 * coalesce(t.triangles, 0))
+                              // (d.degree * (d.degree - 1) // 2)
+                         ELSE 0 END)::BIGINT AS coeff_micros
+            FROM deg d LEFT JOIN tcount t ON d.node = t.node
         """,
         # - pagerank: the integer-micros recurrence unrolled to a CTE
         #   chain — DuckDB runs each iteration as its own join+agg over

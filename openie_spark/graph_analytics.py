@@ -270,3 +270,52 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
     )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node local clustering coefficient on the undirected simple
+    graph: (node, degree, triangles, wedges, coeff_micros) for every
+    node with degree >= 1 — the KG-density diagnostic that tells a
+    curator whether an entity's neighborhood is a clique (boilerplate
+    co-mention cluster) or a hub of unrelated facts.
+
+    All integers: ``wedges = deg*(deg-1)/2`` (exact — consecutive
+    integers), ``coeff_micros = (1_000_000 * triangles) div wedges``
+    (0 when wedges == 0, i.e. degree-1 nodes), so the column is
+    layout- and engine-portable like everything else under the hash
+    contract. Triangle counts come from :func:`triangle_count` (degree-
+    ordered orientation, each triangle once); degrees from the same
+    symmetrized edge set, so the two sides cannot disagree on the
+    graph. One extra left join + the degree agg on top of the triangle
+    plan — nodes without triangles get 0, not dropped.
+    """
+    e = _sym_edges(edges, src, dst, directed=False)
+    deg = e.groupBy(F.col("_s").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    tri = triangle_count(edges, src, dst)
+    # integer div, not `/` — float division loses exactness past 2^53
+    # (a 100M-degree hub squares beyond double precision)
+    wedges = F.expr("degree * (degree - 1) div 2").cast("long")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("long")
+            .alias("triangles"),
+            wedges.alias("wedges"),
+        )
+        .withColumn(
+            "coeff_micros",
+            F.when(F.col("wedges") > 0,
+                   F.expr("(1000000 * triangles) div wedges"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

@@ -9,6 +9,7 @@ from collections import defaultdict
 import pytest
 
 from openie_spark.graph_analytics import (
+    clustering_coefficients,
     k_hop_neighborhood,
     pagerank_micros,
     triangle_count,
@@ -209,6 +210,41 @@ def test_pagerank_micros_partition_layout_independent(spark):
         spark.conf.set("spark.sql.shuffle.partitions", base)
     assert one == many
     assert one == sorted(_pagerank_int(edges, 3).items())
+
+
+def test_clustering_coefficients_brute_force(spark):
+    """clustering_coefficients vs direct enumeration: degree, wedges =
+    C(deg,2), triangles per node, coeff_micros = floor(1e6*tri/wedges);
+    triangle-free and degree-1 nodes present with coeff 0."""
+    rng = random.Random(17)
+    edges = _random_edges(rng, 20, 60) + [(2, 2), (18, 19)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (
+            r["degree"], r["triangles"], r["wedges"], r["coeff_micros"]
+        )
+        for r in clustering_coefficients(df).collect()
+    }
+    und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    tri = _triangles(edges)
+    want = {}
+    for n, nbrs in adj.items():
+        d = len(nbrs)
+        w = d * (d - 1) // 2
+        t = tri.get(n, 0)
+        want[n] = (d, t, w, (1_000_000 * t) // w if w else 0)
+    assert got == want
+    # a pure triangle: every node coeff exactly 1.0
+    k3 = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    for r in clustering_coefficients(k3).collect():
+        assert (r["degree"], r["triangles"], r["wedges"],
+                r["coeff_micros"]) == (2, 1, 1, 1_000_000)
 
 
 def test_triangle_count_plan_no_cartesian(spark):
