@@ -1012,6 +1012,58 @@ def q_approx_distinct(spark, sf_dir):
     return approx_distinct(toks, ["source"], "tok")
 
 
+def q_link_graph(spark, sf_dir):
+    """Web link-graph extraction (weblinks.py): pages are synthesized
+    DETERMINISTICALLY from the documents table with identical string
+    expressions on both engines (absolute-with-tracking, root-relative,
+    path-relative, and mailto anchors per doc id), then link_graph
+    extracts/resolves/normalizes — uppercase hosts lowered, :443
+    dropped, utm_* stripped, mailto dropped, relatives joined against
+    the base directory. The DuckDB oracle re-implements every rule in
+    RE2, so the URL-canonicalization contract is pinned cross-engine
+    at full value equality."""
+    from openie_spark.weblinks import link_graph
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    mod7 = (F.col("doc_id") % 7).cast("string")
+    html = F.concat(
+        F.lit('<html><body><p>Doc</p>'
+              '<a href="HTTPS://Example.COM:443/d/'),
+        mod7,
+        F.lit('?utm_source=feed&ref='),
+        F.col("source"),
+        F.lit('#top">Item <b>'),
+        mod7,
+        F.lit("</b></a>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<a href="/rel/'), did, F.lit('">rel  link</a>')
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit('<a href="sub/page.html?a=1&utm_campaign=x&b=2">'
+                  "relative</a>"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<a href="mailto:a@b.c">mail</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://news.example.org/sub/dir/page"),
+            did,
+            F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return link_graph(pages)
+
+
 def q_clustering_coeff(spark, sf_dir):
     """Per-node local clustering coefficient (graph_analytics.py) on
     the same strong co-supply graph as q_triangles — (degree,
@@ -1119,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsample": q_upsample,
         "pack_sequences": q_pack_sequences,
         "clustering_coeff": q_clustering_coeff,
+        "link_graph": q_link_graph,
     }
 
 
@@ -1179,6 +1232,31 @@ def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
         SELECT node, rank_micros FROM r{iterations}"""
     )
     return "".join(parts)
+
+
+def _duck_normalize_url(e: str) -> str:
+    """weblinks.normalize_url re-expressed in RE2 for DuckDB over the
+    SQL expression ``e`` — same steps, same order: fragment strip,
+    lowercase scheme://host with default-port drop, tracking-param
+    removal, delimiter tidy-up."""
+    n0 = f"regexp_replace({e}, '#.*', '')"
+    prefix = (
+        f"regexp_extract({n0}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*')"
+    )
+    low = (
+        "regexp_replace(regexp_replace("
+        f"lower({prefix}), '^(http://[^/:?]*):80$', '\\1'),"
+        " '^(https://[^/:?]*):443$', '\\1')"
+    )
+    joined = f"({low} || substr({n0}, length({prefix}) + 1))"
+    no_track = (
+        f"regexp_replace({joined},"
+        " '([?&])(utm_[^&=#]*|fbclid|gclid|msclkid)=[^&]*', '\\1', 'g')"
+    )
+    return (
+        "regexp_replace(regexp_replace(regexp_replace("
+        f"{no_track}, '&&+', '&', 'g'), '\\?&', '?'), '[?&]$', '')"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1781,6 +1859,87 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, count(*)::BIGINT AS triangles
             FROM (SELECT unnest([a, b, c]) AS node FROM tri)
             GROUP BY node
+        """,
+        # - link_graph: identical page synthesis by string concat, then
+        #   an independent RE2 re-implementation of anchor extraction
+        #   (regexp_extract_all groups 1/2 aligned by position),
+        #   resolution CASE ladder, and _duck_normalize_url. Pins the
+        #   URL-canonicalization contract cross-engine.
+        "link_graph": f"""
+            WITH pages AS (
+              SELECT 'https://news.example.org/sub/dir/page' || doc_id
+                     || '.html' AS url,
+                     '<html><body><p>Doc</p><a href="HTTPS://Example.COM:443/d/'
+                     || (doc_id % 7) || '?utm_source=feed&ref=' || source
+                     || '#top">Item <b>' || (doc_id % 7) || '</b></a>'
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN '<a href="/rel/' || doc_id || '">rel  link</a>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                        THEN '<a href="sub/page.html?a=1&utm_campaign=x&b=2">relative</a>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN '<a href="mailto:a@b.c">mail</a>'
+                        ELSE '' END
+                     || '</body></html>' AS html
+              FROM documents
+            ),
+            arrs AS (
+              SELECT url,
+                     regexp_extract_all(html,
+                       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+                     regexp_extract_all(html,
+                       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2) AS ts
+              FROM pages
+            ),
+            anchors AS (
+              SELECT url, unnest(generate_series(1, len(hs))) AS i, hs, ts
+              FROM arrs
+            ),
+            resolved AS (
+              SELECT url,
+                     (i - 1)::BIGINT AS link_no,
+                     hs[i] AS href,
+                     trim(regexp_replace(regexp_replace(ts[i],
+                          '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS anchor_text,
+                     CASE
+                       WHEN trim(hs[i]) = '' THEN NULL
+                       WHEN trim(hs[i]) LIKE '#%' THEN NULL
+                       WHEN regexp_matches(trim(hs[i]),
+                            '^(mailto:|javascript:|tel:|data:)') THEN NULL
+                       WHEN regexp_matches(trim(hs[i]),
+                            '^[hH][tT][tT][pP][sS]?://') THEN trim(hs[i])
+                       WHEN trim(hs[i]) LIKE '//%' THEN
+                         regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
+                         || ':' || trim(hs[i])
+                       WHEN trim(hs[i]) LIKE '/%' THEN
+                         regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                         || trim(hs[i])
+                       ELSE
+                         regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                         || CASE WHEN regexp_extract(
+                                regexp_replace(url, '[?#].*', ''),
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)',
+                                1) <> ''
+                            THEN regexp_extract(
+                                regexp_replace(url, '[?#].*', ''),
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)',
+                                1)
+                            ELSE '/' END
+                         || trim(hs[i])
+                     END AS dst_raw
+              FROM anchors
+            )
+            SELECT {_duck_normalize_url('url')} AS src_url,
+                   link_no, href,
+                   {_duck_normalize_url('dst_raw')} AS dst_url,
+                   anchor_text
+            FROM resolved
+            WHERE dst_raw IS NOT NULL
         """,
         # - clustering_coeff: the triangles oracle composed with a
         #   UNION ALL degree count over the same canonical pair set;

@@ -1,0 +1,148 @@
+"""Web link-graph extraction — anchors, href resolution, URL
+canonicalization: the operators that turn a crawled page table into the
+(src_url, dst_url, anchor_text) edge list an entity-linking or
+page-authority stage (graph_analytics.pagerank_micros) consumes.
+
+Reference scope note: the reference (sudoandros/OpenIE) keys everything
+by url (relations.py outputs carry the source url) but never parses
+links; this is the web-graph layer a Common-Crawl-scale KG needs.
+
+Everything is pure JVM regexp/string column expressions — link
+extraction is a narrow map over the page scan, no shuffle, no UDF; the
+DuckDB oracle re-implements the same contracts in RE2, so the rules
+are pinned cross-engine.
+
+Scope contracts (deliberately narrow, documented over clever):
+- ``extract_anchors``: ``<a ... href="...">...</a>`` with DOUBLE-quoted
+  hrefs only (the overwhelming production form); anchor text is
+  tag-stripped and whitespace-collapsed. Malformed/unquoted hrefs are
+  skipped, not guessed.
+- ``resolve_href``: absolute http(s) kept; ``//host/..`` gets the base
+  scheme; ``/path`` gets the base origin; other RELATIVE paths join
+  against the base directory WITHOUT dot-segment elimination;
+  ``mailto:``/``javascript:``/``tel:``/``data:`` and pure-fragment
+  hrefs resolve to NULL (not links). This matches urllib.parse.urljoin
+  on the dot-free subset (pytest pins it case by case).
+- ``normalize_url``: strip fragment, lowercase scheme+host, drop
+  default ports (``:80`` http / ``:443`` https), remove tracking
+  params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``), tidy the
+  leftover ``?``/``&`` artifacts. Path case and trailing slashes are
+  preserved — they are semantic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# one pattern, two capture groups — extracting group 1 and group 2 with
+# the SAME pattern yields positionally aligned arrays
+_ANCHOR_RE = r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_SKIP_SCHEMES = r"^(mailto:|javascript:|tel:|data:)"
+_TRACKING = r"(utm_[^&=#]*|fbclid|gclid|msclkid)"
+
+
+def extract_anchors(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Explode every ``<a href="...">`` of each page into (url_col,
+    link_no, href, anchor_text): link_no is the 0-based in-page
+    position (stable provenance), anchor_text is tag-stripped and
+    whitespace-collapsed. Pages without links produce no rows."""
+    html = F.col(html_col).cast("string")
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2)
+    pair = F.posexplode(F.arrays_zip(hrefs.alias("h"), texts.alias("t")))
+    return df.select(
+        url_col, pair.alias("link_no", "_a")
+    ).select(
+        url_col,
+        F.col("link_no").cast("long"),
+        F.col("_a.h").alias("href"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_a.t"), r"<[^>]*>", " "),
+                r"\s+",
+                " ",
+            )
+        ).alias("anchor_text"),
+    )
+
+
+def _origin(url: F.Column) -> F.Column:
+    """scheme://host[:port] of an absolute url."""
+    return F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+
+
+def resolve_href(base: F.Column, href: F.Column) -> F.Column:
+    """Absolutize ``href`` against ``base`` (see module contract);
+    NULL for non-link schemes, empty, and pure-fragment hrefs."""
+    h = F.trim(href)
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = _origin(base)
+    # base directory: strip query/fragment, then cut after the last '/'
+    # of the path (origin/ when the path is bare)
+    base_nopath = F.regexp_replace(base, r"[?#].*", "")
+    base_dir = F.when(
+        F.regexp_extract(base_nopath, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)", 1) != "",
+        F.concat(
+            origin,
+            F.regexp_extract(
+                base_nopath, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)", 1
+            ),
+        ),
+    ).otherwise(F.concat(origin, F.lit("/")))
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.startswith("#"), F.lit(None).cast("string"))
+        .when(h.rlike(_SKIP_SCHEMES), F.lit(None).cast("string"))
+        .when(h.rlike(r"^[hH][tT][tT][pP][sS]?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(base_dir, h))
+    )
+
+
+def normalize_url(url: F.Column) -> F.Column:
+    """Canonical form per the module contract — every step a plain
+    regexp/string expression reproducible in RE2."""
+    u = F.regexp_replace(url, r"#.*", "")  # fragment
+    prefix = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    # lowercase scheme+host, drop default port
+    low = F.lower(prefix)
+    low = F.regexp_replace(low, r"^(http://[^/:?]*):80$", "$1")
+    low = F.regexp_replace(low, r"^(https://[^/:?]*):443$", "$1")
+    tail = u.substr(F.length(prefix) + 1, F.length(u))
+    u = F.concat(low, tail)
+    # tracking params (global), then delimiter tidy-up
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING + r"=[^&]*", "$1")
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    return u
+
+
+def link_graph(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(src_url, link_no, href, dst_url, anchor_text): extracted
+    anchors with resolved + normalized destinations; non-link hrefs
+    (mailto/js/fragment/empty) are dropped. src_url is normalized too,
+    so the edge list keys consistently."""
+    anchors = extract_anchors(df, url_col, html_col)
+    dst = resolve_href(F.col(url_col), F.col("href"))
+    return (
+        anchors.withColumn("dst_url", dst)
+        .filter(F.col("dst_url").isNotNull())
+        .select(
+            normalize_url(F.col(url_col)).alias("src_url"),
+            "link_no",
+            "href",
+            normalize_url(F.col("dst_url")).alias("dst_url"),
+            "anchor_text",
+        )
+    )

@@ -1,0 +1,118 @@
+"""weblinks: anchor extraction, href resolution (cross-checked against
+urllib.parse.urljoin on the dot-free subset the contract covers), URL
+normalization rules, link-number provenance, and the shuffle-free plan."""
+
+from urllib.parse import urljoin
+
+from pyspark.sql import functions as F
+
+from openie_spark.weblinks import (
+    extract_anchors,
+    link_graph,
+    normalize_url,
+    resolve_href,
+)
+
+
+def _one(spark, expr, **cols):
+    df = spark.createDataFrame(
+        [tuple(cols.values())], ", ".join(f"{k} string" for k in cols)
+    )
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+def test_resolve_href_matches_urljoin_on_contract_subset(spark):
+    base = "https://news.example.org/sub/dir/page1.html?x=1"
+    cases = [
+        "https://other.org/abs",
+        "HTTP://Case.Org/Abs",
+        "//cdn.example.net/x",
+        "/rooted/path?q=2",
+        "sub/page.html",
+        "file.html?a=1",
+    ]
+    for href in cases:
+        got = _one(
+            spark, resolve_href(F.col("b"), F.col("h")), b=base, h=href
+        )
+        want = urljoin(base, href)
+        # urljoin lowercases nothing either; scheme-relative keeps base
+        # scheme — identical on this subset
+        assert got == want, (href, got, want)
+    # non-links -> NULL
+    for href in ["", "#frag", "mailto:a@b.c", "javascript:void(0)",
+                 "tel:+1234", "data:text/plain,x"]:
+        got = _one(
+            spark, resolve_href(F.col("b"), F.col("h")), b=base, h=href
+        )
+        assert got is None, href
+    # bare-path base: relative joins against origin/
+    got = _one(
+        spark,
+        resolve_href(F.col("b"), F.col("h")),
+        b="https://a.org",
+        h="x.html",
+    )
+    assert got == "https://a.org/x.html"
+
+
+def test_normalize_url_rules(spark):
+    cases = {
+        "HTTPS://Example.COM:443/d/3?utm_source=f&ref=r#top":
+            "https://example.com/d/3?ref=r",
+        "http://UPPER.org:80/Keep/Case": "http://upper.org/Keep/Case",
+        "https://a.org/p?utm_a=1&utm_b=2": "https://a.org/p",
+        "https://a.org/p?fbclid=x": "https://a.org/p",
+        "https://a.org/p?a=1&gclid=x&b=2": "https://a.org/p?a=1&b=2",
+        "https://a.org:8443/p": "https://a.org:8443/p",  # non-default kept
+        "https://a.org/p?": "https://a.org/p",
+        "https://a.org/Path/": "https://a.org/Path/",  # path case+slash kept
+    }
+    for raw, want in cases.items():
+        got = _one(spark, normalize_url(F.col("u")), u=raw)
+        assert got == want, (raw, got, want)
+
+
+def test_extract_anchors_and_link_graph(spark):
+    html = (
+        '<p>x</p><a href="/a">One</a>'
+        '<a class="z" href="/b"><b>Two</b>  words</a>'
+        "<a href='/single-quoted'>skipped</a>"
+        '<a href="#f">frag</a>'
+        '<A HREF="/C">Upper</A>'
+    )
+    df = spark.createDataFrame(
+        [("https://h.org/d/p.html", html)], "url string, html string"
+    )
+    anchors = extract_anchors(df).collect()
+    assert [
+        (r["link_no"], r["href"], r["anchor_text"]) for r in anchors
+    ] == [
+        (0, "/a", "One"),
+        (1, "/b", "Two words"),
+        (2, "#f", "frag"),
+        (3, "/C", "Upper"),
+    ]
+    edges = link_graph(df).collect()
+    assert [(r["link_no"], r["dst_url"]) for r in edges] == [
+        (0, "https://h.org/a"),
+        (1, "https://h.org/b"),
+        (3, "https://h.org/C"),
+    ]
+    assert all(r["src_url"] == "https://h.org/d/p.html" for r in edges)
+    # binary html column works too (crawl tables store bytes)
+    bdf = spark.createDataFrame(
+        [("https://h.org/", bytearray(html, "utf8"))],
+        "url string, html binary",
+    )
+    assert len(link_graph(bdf).collect()) == 3
+
+
+def test_link_graph_plan_is_narrow(spark):
+    df = spark.createDataFrame(
+        [("https://h.org/", '<a href="/x">y</a>')],
+        "url string, html string",
+    )
+    plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
