@@ -1115,6 +1115,28 @@ def q_pagerank(spark, sf_dir):
     return pagerank_micros(fwd.unionByName(rev), iterations=5)
 
 
+def q_pagerank_seeded(spark, sf_dir):
+    """Personalized PageRank (graph_analytics.py, seeds=): teleport,
+    dangling redistribution, and initial mass restricted to three seed
+    suppliers — per-entity relevance over the same directed supply
+    graph as q_pagerank, same integer quantization, oracled against
+    the seeded variant of the unrolled CTE chain."""
+    from openie_spark.graph_analytics import pagerank_micros
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    rev = li.filter(F.col("l_partkey") % 5 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank_micros(
+        fwd.unionByName(rev), iterations=5, seeds=["s1", "s7", "s13"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -1172,19 +1194,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "clustering_coeff": q_clustering_coeff,
         "link_graph": q_link_graph,
+        "pagerank_seeded": q_pagerank_seeded,
     }
 
 
-def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
+def _pagerank_oracle(
+    iterations: int = 5, damping: int = 85, seeds=None
+) -> str:
     """The pagerank_micros recurrence unrolled as a DuckDB CTE chain
     (r0 -> r{iterations}); every operation is bigint `//`, the exact
     mirror of Spark's `div`, so the two engines cannot disagree by even
     one micro. Built by a loop because the driver compares a static SQL
     string — the chain IS the independent second implementation (DuckDB
     executes each iteration as its own joins/aggregates; nothing is
-    shared with the Spark loop)."""
+    shared with the Spark loop). ``seeds`` restricts the teleport set
+    (init, teleport, dangling redistribution) to the listed nodes —
+    personalized PageRank, same quantization."""
+    if seeds is None:
+        tset_where = ""
+    else:
+        in_list = ", ".join(f"'{s}'" for s in seeds)
+        tset_where = f" WHERE node IN ({in_list})"
     parts = [
-        """
+        f"""
         WITH e AS (
           SELECT DISTINCT src, dst FROM (
             SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
@@ -1196,10 +1228,14 @@ def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
         ),
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
         deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
-        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        tset AS (SELECT node FROM nodes{tset_where}),
+        tn AS (SELECT count(*)::BIGINT AS t FROM tset),
         r0 AS (
-          SELECT node, (1000000 // n)::BIGINT AS rank_micros
-          FROM nodes CROSS JOIN nn
+          SELECT n.node,
+                 (CASE WHEN ts.node IS NOT NULL THEN 1000000 // t
+                       ELSE 0 END)::BIGINT AS rank_micros
+          FROM nodes n CROSS JOIN tn
+          LEFT JOIN tset ts ON ts.node = n.node
         )"""
     ]
     for i in range(iterations):
@@ -1220,11 +1256,16 @@ def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
         ),
         r{i + 1} AS (
           SELECT nd.node,
-                 ((({100 - damping}) * 1000000 // 100) // nn.n
-                  + ({damping} * (coalesce(c.in_sum, 0) + d.dang // nn.n))
+                 ((CASE WHEN ts.node IS NOT NULL
+                        THEN (({100 - damping}) * 1000000 // 100) // tn.t
+                        ELSE 0 END)
+                  + ({damping} * (coalesce(c.in_sum, 0)
+                     + (CASE WHEN ts.node IS NOT NULL
+                             THEN d.dang // tn.t ELSE 0 END)))
                     // 100)::BIGINT AS rank_micros
-          FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} d
+          FROM nodes nd CROSS JOIN tn CROSS JOIN d{i} d
           LEFT JOIN c{i} c ON c.node = nd.node
+          LEFT JOIN tset ts ON ts.node = nd.node
         )"""
         )
     parts.append(
@@ -1986,6 +2027,12 @@ def oracle_sql() -> dict[str, str]:
         #   with `div`. Both floor on non-negative bigints, so the hash
         #   is exact by construction, not by luck of the layout.
         "pagerank": _pagerank_oracle(iterations=5, damping=85),
+        # - pagerank_seeded: the same chain with the teleport set
+        #   restricted to the three seed suppliers (init, teleport,
+        #   dangling share all seed-only) — personalized PageRank.
+        "pagerank_seeded": _pagerank_oracle(
+            iterations=5, damping=85, seeds=["s1", "s7", "s13"]
+        ),
         # - pack_sequences: the greedy running-remainder recurrence
         #   replayed as a DuckDB RECURSIVE CTE stepping row_number
         #   within each shard — a genuinely independent second

@@ -119,6 +119,7 @@ def pagerank_micros(
     iterations: int = 10,
     damping_pct: int = 85,
     num_partitions: Optional[int] = None,
+    seeds: Optional[Sequence] = None,
 ) -> DataFrame:
     """Quantized PageRank: (node, rank_micros) after ``iterations``
     synchronous power iterations, all arithmetic in INTEGER micro-units.
@@ -144,6 +145,15 @@ def pagerank_micros(
     1000 executors this is the standard Pregel-unrolled topology; the
     per-iteration shuffle keys on the same column so AQE reuses the
     layout.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport vector
+    (and the dangling redistribution, and the initial mass) is uniform
+    over the seed set instead of all nodes — relevance of every entity
+    to the seeds, the KG query behind "what matters near these
+    entities". Same integer quantization: per-seed teleport =
+    ``total_teleport // |S|``, per-seed dangling share = ``dang //
+    |S|``. Seeds absent from the graph are ignored; at least one must
+    be present.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -165,16 +175,27 @@ def pagerank_micros(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank_micros", F.lit(0).cast("long"))
+    if seeds is not None:
+        seed_list = list(seeds)
+        n_seeds = nodes.filter(F.col("node").isin(seed_list)).count()
+        if n_seeds == 0:
+            raise ValueError("no seed is present in the graph")
+        is_tele = F.col("node").isin(seed_list)
+        tele_n = n_seeds
+    else:
+        is_tele = F.lit(True)
+        tele_n = n
     outdeg = e.groupBy(F.col("_s")).agg(F.count(F.lit(1)).alias("_deg"))
     e_deg = e.join(outdeg, "_s").repartition(parts, "_s").persist()
     # nodes with no out-edges — static across iterations
     dangling_nodes = nodes.join(
         outdeg.select(F.col("_s").alias("node")), "node", "left_anti"
     ).localCheckpoint(eager=True)
-    base = 1_000_000 // n  # uniform init
-    teleport = ((100 - damping_pct) * 1_000_000 // 100) // n
+    base = 1_000_000 // tele_n  # uniform init over the teleport set
+    teleport = ((100 - damping_pct) * 1_000_000 // 100) // tele_n
     ranks = nodes.withColumn(
-        "rank_micros", F.lit(base).cast("long")
+        "rank_micros",
+        F.when(is_tele, F.lit(base)).otherwise(F.lit(0)).cast("long"),
     ).localCheckpoint(eager=True)
     try:
         for _ in range(iterations):
@@ -200,15 +221,25 @@ def pagerank_micros(
             ranks = (
                 nodes.join(contrib, "node", "left")
                 .crossJoin(F.broadcast(dangling))
+                .withColumn(
+                    "_inner",
+                    (
+                        F.coalesce(F.col("in_sum"), F.lit(0))
+                        + F.when(
+                            is_tele, F.expr(f"dang div {tele_n}")
+                        ).otherwise(F.lit(0))
+                    ).cast("long"),
+                )
                 .select(
                     "node",
                     (
-                        F.lit(teleport).cast("long")
-                        + F.expr(
-                            f"({damping_pct} * (coalesce(in_sum, 0)"
-                            f" + (dang div {n}))) div 100"
-                        )
-                    ).alias("rank_micros"),
+                        F.when(is_tele, F.lit(teleport))
+                        .otherwise(F.lit(0))
+                        .cast("long")
+                        + F.expr(f"({damping_pct} * _inner) div 100")
+                    )
+                    .cast("long")
+                    .alias("rank_micros"),
                 )
                 .localCheckpoint(eager=True)
             )

@@ -117,7 +117,7 @@ def test_triangle_count_matches_enumeration(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
-def _pagerank_int(edges, iterations, damping_pct=85):
+def _pagerank_int(edges, iterations, damping_pct=85, seeds=None):
     """The exact integer recurrence pagerank_micros promises, over
     dicts: contribution = rank // outdeg, dangling mass // n shared
     uniformly, damped with integer // 100. Bit-for-bit comparable."""
@@ -129,9 +129,11 @@ def _pagerank_int(edges, iterations, damping_pct=85):
     out = defaultdict(list)
     for u, v in e:
         out[u].append(v)
-    base = 1_000_000 // n
-    tele = ((100 - damping_pct) * 1_000_000 // 100) // n
-    rank = {v: base for v in nodes}
+    tset = set(nodes) if seeds is None else set(seeds) & set(nodes)
+    tn = len(tset)
+    base = 1_000_000 // tn
+    tele = ((100 - damping_pct) * 1_000_000 // 100) // tn
+    rank = {v: (base if v in tset else 0) for v in nodes}
     for _ in range(iterations):
         in_sum = defaultdict(int)
         for u, vs in out.items():
@@ -140,7 +142,12 @@ def _pagerank_int(edges, iterations, damping_pct=85):
                 in_sum[v] += c
         dang = sum(rank[v] for v in nodes if v not in out)
         rank = {
-            v: tele + (damping_pct * (in_sum.get(v, 0) + dang // n)) // 100
+            v: (tele if v in tset else 0)
+            + (
+                damping_pct
+                * (in_sum.get(v, 0) + (dang // tn if v in tset else 0))
+            )
+            // 100
             for v in nodes
         }
     return rank
@@ -164,6 +171,25 @@ def test_pagerank_micros_matches_integer_recurrence(spark):
     total = sum(got.values())
     assert total <= 1_000_000
     assert total > 1_000_000 - 4 * (3 * n + 200)
+
+
+def test_personalized_pagerank_matches_integer_recurrence(spark):
+    """seeds= switches teleport/dangling/init to the seed set; exact
+    vs the dict recurrence; absent seeds ignored; all-absent raises;
+    non-seed sinks still drain into the seeds via dangling mass."""
+    rng = random.Random(29)
+    edges = _random_edges(rng, 25, 80)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [0, 7, 999]  # 999 not in the graph -> ignored
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_micros(df, iterations=4, seeds=seeds).collect()
+    }
+    assert got == _pagerank_int(edges, 4, seeds=seeds)
+    # seeds hold most of the mass at strong damping of a sparse graph
+    assert got[0] + got[7] > 200_000
+    with pytest.raises(ValueError):
+        pagerank_micros(df, iterations=2, seeds=[777]).collect()
 
 
 def test_pagerank_micros_shapes(spark):
