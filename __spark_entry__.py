@@ -1012,19 +1012,12 @@ def q_approx_distinct(spark, sf_dir):
     return approx_distinct(toks, ["source"], "tok")
 
 
-def q_link_graph(spark, sf_dir):
-    """Web link-graph extraction (weblinks.py): pages are synthesized
-    DETERMINISTICALLY from the documents table with identical string
-    expressions on both engines (absolute-with-tracking, root-relative,
-    path-relative, and mailto anchors per doc id), then link_graph
-    extracts/resolves/normalizes — uppercase hosts lowered, :443
-    dropped, utm_* stripped, mailto dropped, relatives joined against
-    the base directory. The DuckDB oracle re-implements every rule in
-    RE2, so the URL-canonicalization contract is pinned cross-engine
-    at full value equality."""
-    from openie_spark.weblinks import link_graph
-
-    docs = _read(spark, sf_dir, "documents")
+def _synth_pages(docs):
+    """Deterministic crawl-page synthesis from the documents table —
+    identical string expressions on both engines (the DuckDB oracles
+    mirror this concat verbatim): per doc an absolute-with-tracking
+    anchor, plus root-relative / path-relative / mailto anchors keyed
+    on doc_id residues."""
     did = F.col("doc_id").cast("string")
     mod7 = (F.col("doc_id") % 7).cast("string")
     html = F.concat(
@@ -1053,7 +1046,7 @@ def q_link_graph(spark, sf_dir):
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
-    pages = docs.select(
+    return docs.select(
         F.concat(
             F.lit("https://news.example.org/sub/dir/page"),
             did,
@@ -1061,7 +1054,30 @@ def q_link_graph(spark, sf_dir):
         ).alias("url"),
         html.alias("html"),
     )
-    return link_graph(pages)
+
+
+def q_link_graph(spark, sf_dir):
+    """Web link-graph extraction (weblinks.py) over _synth_pages:
+    link_graph extracts/resolves/normalizes — uppercase hosts lowered,
+    :443 dropped, utm_* stripped, mailto dropped, relatives joined
+    against the base directory. The DuckDB oracle re-implements every
+    rule in RE2, so the URL-canonicalization contract is pinned
+    cross-engine at full value equality."""
+    from openie_spark.weblinks import link_graph
+
+    return link_graph(_synth_pages(_read(spark, sf_dir, "documents")))
+
+
+def q_anchor_dictionary(spark, sf_dir):
+    """Anchor-text dictionary (weblinks.py) over the q_link_graph
+    edges: the entity-linking prior P(target | surface form) as
+    integer (n_links, n_total) with a deterministic per-anchor rank —
+    one groupBy + one anchor window on top of the extraction. Oracle
+    composes the link_graph SQL with the same groupBy/window."""
+    from openie_spark.weblinks import anchor_dictionary, link_graph
+
+    links = link_graph(_synth_pages(_read(spark, sf_dir, "documents")))
+    return anchor_dictionary(links)
 
 
 def q_clustering_coeff(spark, sf_dir):
@@ -1194,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "clustering_coeff": q_clustering_coeff,
         "link_graph": q_link_graph,
+        "anchor_dictionary": q_anchor_dictionary,
         "pagerank_seeded": q_pagerank_seeded,
     }
 
@@ -1298,6 +1315,87 @@ def _duck_normalize_url(e: str) -> str:
         "regexp_replace(regexp_replace(regexp_replace("
         f"{no_track}, '&&+', '&', 'g'), '\\?&', '?'), '[?&]$', '')"
     )
+
+
+def _link_graph_oracle() -> str:
+    """The link_graph RE2 re-implementation over _synth_pages — kept a
+    helper so anchor_dictionary composes on top of the same SQL."""
+    return f"""
+            WITH pages AS (
+              SELECT 'https://news.example.org/sub/dir/page' || doc_id
+                     || '.html' AS url,
+                     '<html><body><p>Doc</p><a href="HTTPS://Example.COM:443/d/'
+                     || (doc_id % 7) || '?utm_source=feed&ref=' || source
+                     || '#top">Item <b>' || (doc_id % 7) || '</b></a>'
+                     || CASE WHEN doc_id % 3 = 0
+                        THEN '<a href="/rel/' || doc_id || '">rel  link</a>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                        THEN '<a href="sub/page.html?a=1&utm_campaign=x&b=2">relative</a>'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                        THEN '<a href="mailto:a@b.c">mail</a>'
+                        ELSE '' END
+                     || '</body></html>' AS html
+              FROM documents
+            ),
+            arrs AS (
+              SELECT url,
+                     regexp_extract_all(html,
+                       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
+                     regexp_extract_all(html,
+                       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2) AS ts
+              FROM pages
+            ),
+            anchors AS (
+              SELECT url, unnest(generate_series(1, len(hs))) AS i, hs, ts
+              FROM arrs
+            ),
+            resolved AS (
+              SELECT url,
+                     (i - 1)::BIGINT AS link_no,
+                     hs[i] AS href,
+                     trim(regexp_replace(regexp_replace(ts[i],
+                          '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
+                       AS anchor_text,
+                     CASE
+                       WHEN trim(hs[i]) = '' THEN NULL
+                       WHEN trim(hs[i]) LIKE '#%' THEN NULL
+                       WHEN regexp_matches(trim(hs[i]),
+                            '^(mailto:|javascript:|tel:|data:)') THEN NULL
+                       WHEN regexp_matches(trim(hs[i]),
+                            '^[hH][tT][tT][pP][sS]?://') THEN trim(hs[i])
+                       WHEN trim(hs[i]) LIKE '//%' THEN
+                         regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
+                         || ':' || trim(hs[i])
+                       WHEN trim(hs[i]) LIKE '/%' THEN
+                         regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                         || trim(hs[i])
+                       ELSE
+                         regexp_extract(url,
+                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
+                         || CASE WHEN regexp_extract(
+                                regexp_replace(url, '[?#].*', ''),
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)',
+                                1) <> ''
+                            THEN regexp_extract(
+                                regexp_replace(url, '[?#].*', ''),
+                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)',
+                                1)
+                            ELSE '/' END
+                         || trim(hs[i])
+                     END AS dst_raw
+              FROM anchors
+            )
+            SELECT {_duck_normalize_url('url')} AS src_url,
+                   link_no, href,
+                   {_duck_normalize_url('dst_raw')} AS dst_url,
+                   anchor_text
+            FROM resolved
+            WHERE dst_raw IS NOT NULL
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1906,81 +2004,25 @@ def oracle_sql() -> dict[str, str]:
         #   (regexp_extract_all groups 1/2 aligned by position),
         #   resolution CASE ladder, and _duck_normalize_url. Pins the
         #   URL-canonicalization contract cross-engine.
-        "link_graph": f"""
-            WITH pages AS (
-              SELECT 'https://news.example.org/sub/dir/page' || doc_id
-                     || '.html' AS url,
-                     '<html><body><p>Doc</p><a href="HTTPS://Example.COM:443/d/'
-                     || (doc_id % 7) || '?utm_source=feed&ref=' || source
-                     || '#top">Item <b>' || (doc_id % 7) || '</b></a>'
-                     || CASE WHEN doc_id % 3 = 0
-                        THEN '<a href="/rel/' || doc_id || '">rel  link</a>'
-                        ELSE '' END
-                     || CASE WHEN doc_id % 4 = 0
-                        THEN '<a href="sub/page.html?a=1&utm_campaign=x&b=2">relative</a>'
-                        ELSE '' END
-                     || CASE WHEN doc_id % 5 = 0
-                        THEN '<a href="mailto:a@b.c">mail</a>'
-                        ELSE '' END
-                     || '</body></html>' AS html
-              FROM documents
-            ),
-            arrs AS (
-              SELECT url,
-                     regexp_extract_all(html,
-                       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 1) AS hs,
-                     regexp_extract_all(html,
-                       '(?is)<a\\s[^>]*?href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>', 2) AS ts
-              FROM pages
-            ),
-            anchors AS (
-              SELECT url, unnest(generate_series(1, len(hs))) AS i, hs, ts
-              FROM arrs
-            ),
-            resolved AS (
-              SELECT url,
-                     (i - 1)::BIGINT AS link_no,
-                     hs[i] AS href,
-                     trim(regexp_replace(regexp_replace(ts[i],
-                          '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))
-                       AS anchor_text,
-                     CASE
-                       WHEN trim(hs[i]) = '' THEN NULL
-                       WHEN trim(hs[i]) LIKE '#%' THEN NULL
-                       WHEN regexp_matches(trim(hs[i]),
-                            '^(mailto:|javascript:|tel:|data:)') THEN NULL
-                       WHEN regexp_matches(trim(hs[i]),
-                            '^[hH][tT][tT][pP][sS]?://') THEN trim(hs[i])
-                       WHEN trim(hs[i]) LIKE '//%' THEN
-                         regexp_extract(url,
-                           '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
-                         || ':' || trim(hs[i])
-                       WHEN trim(hs[i]) LIKE '/%' THEN
-                         regexp_extract(url,
-                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
-                         || trim(hs[i])
-                       ELSE
-                         regexp_extract(url,
-                           '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)
-                         || CASE WHEN regexp_extract(
-                                regexp_replace(url, '[?#].*', ''),
-                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)',
-                                1) <> ''
-                            THEN regexp_extract(
-                                regexp_replace(url, '[?#].*', ''),
-                                '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*(/.*/)',
-                                1)
-                            ELSE '/' END
-                         || trim(hs[i])
-                     END AS dst_raw
-              FROM anchors
+        "link_graph": _link_graph_oracle(),
+        # - anchor_dictionary: the same link-graph SQL as a derived
+        #   table, then the identical case-folded groupBy + per-anchor
+        #   window (total + rank with the dst tiebreak) in DuckDB.
+        "anchor_dictionary": f"""
+            SELECT anchor, dst_url, n_links,
+                   sum(n_links) OVER (PARTITION BY anchor)::BIGINT
+                     AS n_total,
+                   row_number() OVER (
+                     PARTITION BY anchor
+                     ORDER BY n_links DESC, dst_url
+                   )::BIGINT AS rank
+            FROM (
+              SELECT trim(lower(anchor_text)) AS anchor, dst_url,
+                     count(*)::BIGINT AS n_links
+              FROM ({_link_graph_oracle()}) lg
+              WHERE trim(lower(anchor_text)) <> ''
+              GROUP BY 1, 2
             )
-            SELECT {_duck_normalize_url('url')} AS src_url,
-                   link_no, href,
-                   {_duck_normalize_url('dst_raw')} AS dst_url,
-                   anchor_text
-            FROM resolved
-            WHERE dst_raw IS NOT NULL
         """,
         # - clustering_coeff: the triangles oracle composed with a
         #   UNION ALL degree count over the same canonical pair set;

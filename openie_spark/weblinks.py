@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # one pattern, two capture groups — extracting group 1 and group 2 with
 # the SAME pattern yields positionally aligned arrays
@@ -122,6 +123,47 @@ def normalize_url(url: F.Column) -> F.Column:
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
     return u
+
+
+def anchor_dictionary(
+    links: DataFrame,
+    anchor_col: str = "anchor_text",
+    dst_col: str = "dst_url",
+    min_count: int = 1,
+) -> DataFrame:
+    """The classic anchor-text dictionary over a link graph — the
+    entity-linking prior P(target | surface form) that Wikipedia-style
+    linkers are bootstrapped from: for every (lowercased anchor,
+    destination) pair, ``n_links`` (how often that text points there),
+    ``n_total`` (how often the text links anywhere), and ``rank`` (1 =
+    the anchor's most common target; ties broken by dst_url so the
+    ranking is deterministic). The prior stays INTEGER (n_links,
+    n_total) — the caller divides; the dictionary itself sits under
+    the hash contract.
+
+    Scale shape: one groupBy(anchor, dst) with map-side combine, then
+    one anchor-partitioned window — two exchanges, both keyed on text
+    columns that distribute well (anchor texts are near-unique in the
+    tail); the hot-anchor head ("click here") is exactly what
+    ``min_count`` and downstream caps are for."""
+    anchor = F.trim(F.lower(F.col(anchor_col)))
+    pairs = (
+        links.filter(anchor != "")
+        .groupBy(anchor.alias("anchor"), F.col(dst_col).alias("dst_url"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+    by_anchor = Window.partitionBy("anchor")
+    ranked = pairs.select(
+        "anchor",
+        "dst_url",
+        "n_links",
+        F.sum("n_links").over(by_anchor).cast("long").alias("n_total"),
+        F.row_number()
+        .over(by_anchor.orderBy(F.desc("n_links"), F.asc("dst_url")))
+        .cast("long")
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("n_links") >= min_count)
 
 
 def link_graph(

@@ -108,6 +108,45 @@ def test_extract_anchors_and_link_graph(spark):
     assert len(link_graph(bdf).collect()) == 3
 
 
+def test_anchor_dictionary_counts_and_rank(spark):
+    """anchor_dictionary: case-folded grouping, per-anchor totals,
+    deterministic rank (n_links desc, dst_url asc), min_count filter,
+    empty anchors dropped."""
+    from openie_spark.weblinks import anchor_dictionary
+
+    rows = [
+        ("Apple", "https://a.org/apple"),
+        ("apple", "https://a.org/apple"),
+        ("APPLE", "https://a.org/fruit"),
+        ("apple", "https://a.org/fruit"),
+        ("apple", "https://a.org/abc"),
+        ("pear", "https://a.org/pear"),
+        ("", "https://a.org/empty"),
+    ]
+    # fruit n_links=3 (case-folded), apple 2, abc 1; anchor total 6
+    rows.append(("Apple", "https://a.org/fruit"))
+    df = spark.createDataFrame(rows, "anchor_text string, dst_url string")
+    got = {
+        (r["anchor"], r["dst_url"]): (r["n_links"], r["n_total"], r["rank"])
+        for r in anchor_dictionary(df).collect()
+    }
+    assert got == {
+        ("apple", "https://a.org/fruit"): (3, 6, 1),
+        ("apple", "https://a.org/apple"): (2, 6, 2),
+        ("apple", "https://a.org/abc"): (1, 6, 3),
+        ("pear", "https://a.org/pear"): (1, 1, 1),
+    }
+    # min_count prunes the tail but totals still count the whole anchor
+    got2 = {
+        (r["anchor"], r["dst_url"])
+        for r in anchor_dictionary(df, min_count=2).collect()
+    }
+    assert got2 == {
+        ("apple", "https://a.org/apple"),
+        ("apple", "https://a.org/fruit"),
+    }
+
+
 def test_link_graph_plan_is_narrow(spark):
     df = spark.createDataFrame(
         [("https://h.org/", '<a href="/x">y</a>')],
