@@ -1153,6 +1153,28 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_hits(spark, sf_dir):
+    """Quantized integer HITS (graph_analytics.py) on the same directed
+    supply graph as q_pagerank (cycles + pure sources + pure sinks —
+    the shapes that separate hubs from authorities). All arithmetic is
+    bigint micros with an L1 rescale via a precomputed floor-division
+    scalar, so the iterative eigen-sweep is bit-identical on any engine
+    and any partition layout. 4 sweeps; oracle is the same recurrence
+    unrolled as a DuckDB CTE chain (a1/h1 .. a4/h4) with `//`."""
+    from openie_spark.graph_analytics import hits_micros
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    rev = li.filter(F.col("l_partkey") % 5 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return hits_micros(fwd.unionByName(rev), iterations=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline (parse + rule extraction run live; oracled against
@@ -1212,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph": q_link_graph,
         "anchor_dictionary": q_anchor_dictionary,
         "pagerank_seeded": q_pagerank_seeded,
+        "hits": q_hits,
     }
 
 
@@ -1288,6 +1311,73 @@ def _pagerank_oracle(
     parts.append(
         f"""
         SELECT node, rank_micros FROM r{iterations}"""
+    )
+    return "".join(parts)
+
+
+def _hits_oracle(iterations: int = 4) -> str:
+    """The hits_micros recurrence unrolled as a DuckDB CTE chain
+    (h0 -> a{i}/h{i}); every operation is a bigint sum or `//` — the
+    exact mirror of Spark's `div` — with the L1 rescale denominator
+    ``greatest(1, total // 1e6)`` computed as a 1-row CTE per sweep and
+    CROSS JOINed in (mirroring Spark's scalar broadcast). The chain
+    CTEs are MATERIALIZED: each is referenced twice (denominator +
+    rescale), and DuckDB's default inlining would re-evaluate the whole
+    prefix 2^sweeps times. Built by a loop because the driver compares
+    a static SQL string; the chain IS the independent second
+    implementation."""
+    parts = [
+        """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT 'p' || l_partkey, 's' || l_suppkey
+            FROM lineitem WHERE l_partkey % 5 = 0
+          ) WHERE src <> dst
+        ),
+        nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS MATERIALIZED (SELECT node, 1000000::BIGINT AS s FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        a{i}r AS MATERIALIZED (
+          SELECT e.dst AS node, sum(h.s)::BIGINT AS raw
+          FROM h{i - 1} h JOIN e ON e.src = h.node
+          GROUP BY e.dst
+        ),
+        a{i}d AS MATERIALIZED (
+          SELECT greatest(1, coalesce(sum(raw), 0) // 1000000)::BIGINT
+                 AS den
+          FROM a{i}r
+        ),
+        a{i} AS MATERIALIZED (
+          SELECT n.node, (coalesce(r.raw, 0) // d.den)::BIGINT AS s
+          FROM nodes n CROSS JOIN a{i}d d
+          LEFT JOIN a{i}r r ON r.node = n.node
+        ),
+        h{i}r AS MATERIALIZED (
+          SELECT e.src AS node, sum(a.s)::BIGINT AS raw
+          FROM a{i} a JOIN e ON e.dst = a.node
+          GROUP BY e.src
+        ),
+        h{i}d AS MATERIALIZED (
+          SELECT greatest(1, coalesce(sum(raw), 0) // 1000000)::BIGINT
+                 AS den
+          FROM h{i}r
+        ),
+        h{i} AS MATERIALIZED (
+          SELECT n.node, (coalesce(r.raw, 0) // d.den)::BIGINT AS s
+          FROM nodes n CROSS JOIN h{i}d d
+          LEFT JOIN h{i}r r ON r.node = n.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT a.node, a.s AS auth_micros, h.s AS hub_micros
+        FROM a{iterations} a JOIN h{iterations} h ON a.node = h.node"""
     )
     return "".join(parts)
 
@@ -2075,6 +2165,11 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - hits: the integer-micros hub/authority recurrence unrolled
+        #   to a CTE chain over the same edge table; the L1 rescale
+        #   denominator is a scalar subquery per sweep, mirrored by a
+        #   1-row broadcast in Spark. Exact by construction.
+        "hits": _hits_oracle(iterations=4),
         # - pack_sequences: the greedy running-remainder recurrence
         #   replayed as a DuckDB RECURSIVE CTE stepping row_number
         #   within each shard — a genuinely independent second

@@ -248,6 +248,106 @@ def pagerank_micros(
     return ranks
 
 
+def hits_micros(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Quantized HITS: (node, auth_micros, hub_micros) after
+    ``iterations`` synchronous hub/authority sweeps, all arithmetic in
+    INTEGER micro-units — the link-analysis complement to
+    :func:`pagerank_micros` (PageRank ranks endorsement flow; HITS
+    separates *directories* (hubs) from *endorsed content*
+    (authorities), the classic Kleinberg decomposition of a web link
+    graph).
+
+    Recurrence per iteration: ``auth_raw(v) = sum of hub(u) over
+    in-edges (u, v)``, then L1-rescale to ~1e6 total mass via
+    ``auth = auth_raw div max(1, total_raw div 1_000_000)``; the hub
+    sweep mirrors it over out-edges using the JUST-rescaled auth
+    (Gauss-Seidel ordering, the textbook formulation). The rescale is a
+    floor division by a precomputed scalar — no value is ever
+    multiplied up, so nothing can overflow bigint even on a 1e12-edge
+    graph (raw totals are bounded by m * 1e6), and integer sums are
+    associative, so the result is bit-identical on ANY engine and ANY
+    partition layout — an iterative algorithm under the full value-hash
+    contract. The L1 norm replaces the textbook L2 (a sqrt of a float
+    sum — exactly the order-dependent construct this repo bans); both
+    converge to the same principal eigenvector direction, quantized.
+
+    Scale shape: the deduped edge set is repartitioned on the join key
+    once and persisted; each iteration is TWO equi-join + groupBy-sum
+    passes (map-side partial agg) and two 1-row scalar broadcasts.
+    Scores are localCheckpoint-materialized per iteration (bounded
+    lineage). Nodes with no in-edges hold auth 0; no out-edges, hub 0.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    spark = edges.sparkSession
+    parts = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+        .repartition(parts, "_s")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("hub_micros", F.lit(1_000_000).cast("long"))
+    auth = nodes.withColumn("auth_micros", F.lit(0).cast("long"))
+
+    def _sweep(scores, in_col, join_on, emit, out_col):
+        """One half-iteration: propagate `in_col` across edges from
+        endpoint `join_on` to endpoint `emit`, then L1-rescale into
+        `out_col`."""
+        raw = (
+            scores.join(e, scores["node"] == e[join_on])
+            .select(F.col(emit).alias("node"), F.col(in_col).alias("s"))
+            .groupBy("node")
+            .agg(F.sum("s").cast("long").alias("raw"))
+        )
+        total = raw.agg(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr("coalesce(sum(raw), 0) div 1000000").cast("long"),
+            ).alias("_den")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr("coalesce(raw, 0) div _den")
+                .cast("long")
+                .alias(out_col),
+            )
+        )
+
+    try:
+        for _ in range(iterations):
+            auth = _sweep(
+                hub, "hub_micros", "_s", "_d", "auth_micros"
+            ).localCheckpoint(eager=True)
+            hub = _sweep(
+                auth, "auth_micros", "_d", "_s", "hub_micros"
+            ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+    return (
+        auth.join(hub, "node")
+        .select("node", "auth_micros", "hub_micros")
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

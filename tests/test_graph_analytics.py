@@ -10,6 +10,7 @@ import pytest
 
 from openie_spark.graph_analytics import (
     clustering_coefficients,
+    hits_micros,
     k_hop_neighborhood,
     pagerank_micros,
     triangle_count,
@@ -285,3 +286,81 @@ def test_triangle_count_plan_no_cartesian(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "Cartesian" not in final, final[:2000]
     assert "BatchEvalPython" not in final
+
+def _hits_int(edges, iterations):
+    """The exact integer recurrence hits_micros promises, over dicts:
+    propagate-and-L1-rescale with `den = max(1, total // 1e6)` and
+    floor division, Gauss-Seidel ordering (hub sweep uses the
+    just-rescaled auth). Bit-for-bit comparable."""
+    e = sorted({(u, v) for u, v in edges if u != v})
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out = defaultdict(list)
+    inn = defaultdict(list)
+    for u, v in e:
+        out[u].append(v)
+        inn[v].append(u)
+    hub = {v: 1_000_000 for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iterations):
+        raw = {v: sum(hub[u] for u in inn[v]) for v in nodes}
+        den = max(1, sum(raw.values()) // 1_000_000)
+        auth = {v: raw[v] // den for v in nodes}
+        raw = {v: sum(auth[w] for w in out[v]) for v in nodes}
+        den = max(1, sum(raw.values()) // 1_000_000)
+        hub = {v: raw[v] // den for v in nodes}
+    return {v: (auth[v], hub[v]) for v in nodes}
+
+
+def test_hits_micros_matches_integer_recurrence(spark):
+    rng = random.Random(33)
+    # random digraph + pure sources, pure sinks, dup/self edges
+    edges = _random_edges(rng, 25, 80) + [(4, 4), (40, 3), (3, 41)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (0, 1, 4):
+        got = {
+            r["node"]: (r["auth_micros"], r["hub_micros"])
+            for r in hits_micros(df, iterations=iters).collect()
+        }
+        assert got == _hits_int(edges, iters), iters
+
+
+def test_hits_micros_hub_auth_separation(spark):
+    """Bipartite star: one directory page linking to three content
+    pages. The directory must end all-hub/no-auth, the content pages
+    all-auth/no-hub, leaves tie exactly."""
+    edges = [("dir", "p1"), ("dir", "p2"), ("dir", "p3")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["auth_micros"], r["hub_micros"])
+        for r in hits_micros(df, iterations=4).collect()
+    }
+    assert got == _hits_int(edges, 4)
+    assert got["dir"][0] == 0 and got["dir"][1] >= 999_999
+    assert got["p1"] == got["p2"] == got["p3"]
+    assert got["p1"][1] == 0 and got["p1"][0] >= 333_333
+    with pytest.raises(ValueError):
+        hits_micros(df, iterations=-1)
+
+
+def test_hits_micros_partition_layout_independent(spark):
+    rng = random.Random(9)
+    edges = _random_edges(rng, 40, 160)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        one = sorted(
+            (r["node"], r["auth_micros"], r["hub_micros"])
+            for r in hits_micros(df, iterations=3).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "37")
+        many = sorted(
+            (r["node"], r["auth_micros"], r["hub_micros"])
+            for r in hits_micros(df, iterations=3).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
+    assert one == many
+    assert one == sorted(
+        (v, a, h) for v, (a, h) in _hits_int(edges, 3).items()
+    )
