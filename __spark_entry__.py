@@ -1012,12 +1012,14 @@ def q_approx_distinct(spark, sf_dir):
     return approx_distinct(toks, ["source"], "tok")
 
 
-def _synth_pages(docs):
+def _synth_pages(docs, multi_host=False):
     """Deterministic crawl-page synthesis from the documents table —
     identical string expressions on both engines (the DuckDB oracles
     mirror this concat verbatim): per doc an absolute-with-tracking
     anchor, plus root-relative / path-relative / mailto anchors keyed
-    on doc_id residues."""
+    on doc_id residues. ``multi_host`` spreads the pages over nine
+    h{0..8}.example.org hosts (doc_id % 9) so host-level rollups have a
+    real internal/external structure to aggregate."""
     did = F.col("doc_id").cast("string")
     mod7 = (F.col("doc_id") % 7).cast("string")
     html = F.concat(
@@ -1046,14 +1048,21 @@ def _synth_pages(docs):
         ).otherwise(F.lit("")),
         F.lit("</body></html>"),
     )
-    return docs.select(
-        F.concat(
+    if multi_host:
+        url = F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit(".example.org/sub/dir/page"),
+            did,
+            F.lit(".html"),
+        )
+    else:
+        url = F.concat(
             F.lit("https://news.example.org/sub/dir/page"),
             did,
             F.lit(".html"),
-        ).alias("url"),
-        html.alias("html"),
-    )
+        )
+    return docs.select(url.alias("url"), html.alias("html"))
 
 
 def q_link_graph(spark, sf_dir):
@@ -1153,6 +1162,19 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_host_rollup(spark, sf_dir):
+    """Per-host web-graph rollup (weblinks.py) over the multi-host
+    _synth_pages link graph: pages published, outbound split
+    (total/internal/distinct external hosts), inbound links and
+    distinct external referrer hosts — all bigint counts. Oracle
+    composes the multi-host link-graph SQL with the same two
+    aggregations + full outer join."""
+    from openie_spark.weblinks import host_rollup, link_graph
+
+    pages = _synth_pages(_read(spark, sf_dir, "documents"), multi_host=True)
+    return host_rollup(link_graph(pages))
+
+
 def q_hits(spark, sf_dir):
     """Quantized integer HITS (graph_analytics.py) on the same directed
     supply graph as q_pagerank (cycles + pure sources + pure sinks —
@@ -1235,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_dictionary": q_anchor_dictionary,
         "pagerank_seeded": q_pagerank_seeded,
         "hits": q_hits,
+        "host_rollup": q_host_rollup,
     }
 
 
@@ -1407,13 +1430,22 @@ def _duck_normalize_url(e: str) -> str:
     )
 
 
-def _link_graph_oracle() -> str:
+def _link_graph_oracle(multi_host: bool = False) -> str:
     """The link_graph RE2 re-implementation over _synth_pages — kept a
-    helper so anchor_dictionary composes on top of the same SQL."""
+    helper so anchor_dictionary and host_rollup compose on top of the
+    same SQL. ``multi_host`` mirrors _synth_pages(multi_host=True)."""
+    if multi_host:
+        url_expr = (
+            "'https://h' || (doc_id % 9) || '.example.org/sub/dir/page'"
+            " || doc_id || '.html'"
+        )
+    else:
+        url_expr = (
+            "'https://news.example.org/sub/dir/page' || doc_id || '.html'"
+        )
     return f"""
             WITH pages AS (
-              SELECT 'https://news.example.org/sub/dir/page' || doc_id
-                     || '.html' AS url,
+              SELECT {url_expr} AS url,
                      '<html><body><p>Doc</p><a href="HTTPS://Example.COM:443/d/'
                      || (doc_id % 7) || '?utm_source=feed&ref=' || source
                      || '#top">Item <b>' || (doc_id % 7) || '</b></a>'
@@ -2165,6 +2197,46 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - host_rollup: the multi-host link-graph SQL composed with
+        #   the same host extraction, two aggregations (outbound /
+        #   inbound, conditional distinct ignoring the NULL arm exactly
+        #   like Spark's count_distinct(when(...))) and a full outer
+        #   join — all bigint counts.
+        "host_rollup": f"""
+            WITH e AS (
+              SELECT regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS sh,
+                     regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS dh,
+                     src_url
+              FROM ({_link_graph_oracle(multi_host=True)}) lg
+            ),
+            o AS (
+              SELECT sh AS host,
+                     count(DISTINCT src_url)::BIGINT AS n_pages,
+                     count(*)::BIGINT AS out_links,
+                     sum(CASE WHEN sh = dh THEN 1 ELSE 0 END)::BIGINT
+                       AS out_internal,
+                     count(DISTINCT CASE WHEN sh <> dh THEN dh END)::BIGINT
+                       AS out_hosts
+              FROM e GROUP BY sh
+            ),
+            i AS (
+              SELECT dh AS host,
+                     count(*)::BIGINT AS in_links,
+                     count(DISTINCT CASE WHEN sh <> dh THEN sh END)::BIGINT
+                       AS in_hosts
+              FROM e GROUP BY dh
+            )
+            SELECT coalesce(o.host, i.host) AS host,
+                   coalesce(n_pages, 0)::BIGINT AS n_pages,
+                   coalesce(out_links, 0)::BIGINT AS out_links,
+                   coalesce(out_internal, 0)::BIGINT AS out_internal,
+                   coalesce(out_hosts, 0)::BIGINT AS out_hosts,
+                   coalesce(in_links, 0)::BIGINT AS in_links,
+                   coalesce(in_hosts, 0)::BIGINT AS in_hosts
+            FROM o FULL OUTER JOIN i ON o.host = i.host
+        """,
         # - hits: the integer-micros hub/authority recurrence unrolled
         #   to a CTE chain over the same edge table; the L1 rescale
         #   denominator is a scalar subquery per sweep, mirrored by a

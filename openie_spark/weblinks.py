@@ -166,6 +166,71 @@ def anchor_dictionary(
     return ranked.filter(F.col("n_links") >= min_count)
 
 
+def host_of(url) -> F.Column:
+    """Host (no port) of an absolute url column/expression. Applied to
+    :func:`normalize_url` output the host is already lowercased."""
+    return F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1)
+
+
+def host_rollup(
+    links: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Per-host web-graph rollup over a (src_url, dst_url) link table —
+    the crawl-curation dashboard row: for every host, how many pages it
+    publishes, how it links out (total / same-host / distinct external
+    hosts) and how the web links in (total inbound links / distinct
+    external referrer hosts). Columns (host, n_pages, out_links,
+    out_internal, out_hosts, in_links, in_hosts) — all bigint counts,
+    so the rollup sits under the full value-hash contract.
+
+    Scale shape: one narrow map derives (src_host, dst_host, internal);
+    outbound and inbound are each ONE groupBy with map-side partial
+    aggregation (the distinct-host counts plan as Spark's standard
+    two-phase distinct Expand — per-partition dedup before the
+    shuffle, so a mega-host's fan-in arrives pre-collapsed), then one
+    full outer join on host. Hosts are the natural unit of crawl skew;
+    everything here keys ON host, so a hot host is one reducer key with
+    pre-aggregated partial rows, never a replicated join side."""
+    sh = host_of(F.col(src_col))
+    dh = host_of(F.col(dst_col))
+    e = links.select(
+        F.col(src_col).alias("_src"),
+        sh.alias("_sh"),
+        dh.alias("_dh"),
+        (sh == dh).alias("_int"),
+    )
+    out = e.groupBy(F.col("_sh").alias("host")).agg(
+        F.count_distinct("_src").cast("long").alias("n_pages"),
+        F.count(F.lit(1)).cast("long").alias("out_links"),
+        F.sum(F.col("_int").cast("long")).cast("long").alias("out_internal"),
+        F.count_distinct(
+            F.when(~F.col("_int"), F.col("_dh"))
+        ).cast("long").alias("out_hosts"),
+    )
+    inn = e.groupBy(F.col("_dh").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_links"),
+        F.count_distinct(
+            F.when(~F.col("_int"), F.col("_sh"))
+        ).cast("long").alias("in_hosts"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        out.join(inn, "host", "full_outer")
+        .select(
+            "host",
+            *[
+                F.coalesce(F.col(c), zero).cast("long").alias(c)
+                for c in (
+                    "n_pages", "out_links", "out_internal",
+                    "out_hosts", "in_links", "in_hosts",
+                )
+            ],
+        )
+    )
+
+
 def link_graph(
     df: DataFrame,
     url_col: str = "url",

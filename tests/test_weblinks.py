@@ -155,3 +155,58 @@ def test_link_graph_plan_is_narrow(spark):
     plan = link_graph(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+def test_host_rollup_hand_counted(spark):
+    """host_rollup over a crafted link table, every cell hand-counted:
+    internal vs external split, distinct external hosts both ways,
+    pure-sink hosts (no pages) appear with zeroed outbound columns."""
+    from openie_spark.weblinks import host_rollup
+
+    links = spark.createDataFrame(
+        [
+            # a.com publishes 2 pages; p1 links out twice to b.org,
+            # once internal; p2 links to b.org and c.net
+            ("https://a.com/p1", "https://b.org/x"),
+            ("https://a.com/p1", "https://b.org/y"),
+            ("https://a.com/p1", "https://a.com/p2"),
+            ("https://a.com/p2", "https://b.org/x"),
+            ("https://a.com/p2", "https://c.net/z"),
+            # b.org publishes 1 page linking back to a.com
+            ("https://b.org/home", "https://a.com/p1"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {
+        r["host"]: (
+            r["n_pages"], r["out_links"], r["out_internal"],
+            r["out_hosts"], r["in_links"], r["in_hosts"],
+        )
+        for r in host_rollup(links).collect()
+    }
+    assert got == {
+        "a.com": (2, 5, 1, 2, 2, 1),   # in: self p1->p2 + b.org->p1
+        "b.org": (1, 1, 0, 1, 3, 1),
+        "c.net": (0, 0, 0, 0, 1, 1),   # pure sink
+    }
+
+
+def test_host_rollup_port_and_case_handling(spark):
+    """host_of strips ports and the rollup keys on the bare host; a
+    host that appears only with a port still folds into one row."""
+    from openie_spark.weblinks import host_rollup
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.com:8443/p", "https://a.com/q"),
+            ("https://a.com/q", "https://b.org:8080/r"),
+        ],
+        "src_url string, dst_url string",
+    )
+    got = {
+        r["host"]: (r["n_pages"], r["out_links"], r["out_internal"])
+        for r in host_rollup(links).collect()
+    }
+    # port-stripped: a.com:8443 -> a.com, so both links are a.com's and
+    # the first is internal
+    assert got["a.com"] == (2, 2, 1)
+    assert got["b.org"] == (0, 0, 0)
