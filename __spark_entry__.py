@@ -1162,6 +1162,23 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Count-min heavy hitters (dataops/frequency.py): per event_type,
+    every user's sketch estimate next to the exact count — the one-pass
+    hot-key report. The sketch registers are md5-lane integer sums
+    (mergeable, engine-portable) and the estimate is a min of bigints,
+    so the APPROXIMATE operator sits under the full value-hash oracle:
+    DuckDB replays the identical lanes and matches to the last digit
+    (est >= exact visible per row — real collisions at 150 keys x 512
+    columns)."""
+    from openie_spark.dataops.frequency import heavy_hitters
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return heavy_hitters(ev, ["event_type"], "uid")
+
+
 def q_host_rollup(spark, sf_dir):
     """Per-host web-graph rollup (weblinks.py) over the multi-host
     _synth_pages link graph: pages published, outbound split
@@ -1258,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_seeded": q_pagerank_seeded,
         "hits": q_hits,
         "host_rollup": q_host_rollup,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -2197,6 +2215,47 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - heavy_hitters: the count-min pipeline replayed end to end —
+        #   same md5 lane hashing ('r|value', first 8 hex chars mod
+        #   512), same register sums, same min-over-lanes with absent
+        #   registers as 0 (the probes x groups cross join mirrors
+        #   cm_estimate exactly). All integers; est >= exact per row.
+        "heavy_hitters": """
+            WITH src AS MATERIALIZED (
+              SELECT event_type AS g, user_id::VARCHAR AS v FROM events
+            ),
+            regs AS MATERIALIZED (
+              SELECT g, r.range::INT AS row,
+                     (('0x' || substr(md5(r.range || '|' || v), 1, 8))
+                        ::BIGINT % 512)::INT AS col,
+                     count(*)::BIGINT AS cnt
+              FROM src CROSS JOIN range(4) r
+              GROUP BY 1, 2, 3
+            ),
+            probes AS (
+              SELECT k.key, gs.g, r.range::INT AS row,
+                     (('0x' || substr(md5(r.range || '|' || k.key), 1, 8))
+                        ::BIGINT % 512)::INT AS col
+              FROM (SELECT DISTINCT v AS key FROM src) k
+              CROSS JOIN range(4) r
+              CROSS JOIN (SELECT DISTINCT g FROM regs) gs
+            ),
+            est AS (
+              SELECT p.g, p.key,
+                     min(coalesce(regs.cnt, 0))::BIGINT AS est
+              FROM probes p
+              LEFT JOIN regs ON regs.g = p.g AND regs.row = p.row
+                            AND regs.col = p.col
+              GROUP BY 1, 2
+            ),
+            exact AS (
+              SELECT g, v AS key, count(*)::BIGINT AS exact
+              FROM src GROUP BY 1, 2
+            )
+            SELECT est.g AS event_type, est.key, est.est, exact.exact
+            FROM est JOIN exact ON est.g = exact.g AND est.key = exact.key
+            WHERE est.est >= 1
+        """,
         # - host_rollup: the multi-host link-graph SQL composed with
         #   the same host extraction, two aggregations (outbound /
         #   inbound, conditional distinct ignoring the NULL arm exactly

@@ -1957,3 +1957,114 @@ def test_ngram_decontaminate_brute_force_and_plan(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert "BroadcastHashJoin" in final, final[:2000]
     assert "Cartesian" not in final and "BatchEvalPython" not in final
+
+
+# ---------------------------------------------------------------- frequency
+def _cm_ref(rows, d=4, w=512):
+    """Bit-exact python replica of the count-min construction: rows is
+    [(group, value_str, weight)]; returns (registers, est, exact)."""
+    import hashlib
+    from collections import defaultdict
+
+    def col(r, v):
+        h = hashlib.md5(f"{r}|{v}".encode()).hexdigest()
+        return int(h[:8], 16) % w
+
+    regs = defaultdict(int)
+    exact = defaultdict(int)
+    groups = set()
+    keys = set()
+    for g, v, wt in rows:
+        groups.add(g)
+        keys.add(v)
+        exact[(g, v)] += wt
+        for r in range(d):
+            regs[(g, r, col(r, v))] += wt
+    est = {
+        (g, k): min(regs.get((g, r, col(r, k)), 0) for r in range(d))
+        for g in groups
+        for k in keys
+    }
+    return regs, est, exact
+
+
+def test_count_min_matches_reference_and_bounds(spark):
+    """heavy_hitters == the python replica bit-for-bit; the count-min
+    upper-bound property est >= exact holds for every key; a key absent
+    from a group estimates via that group's own sketch (possibly 0)."""
+    from openie_spark.dataops.frequency import cm_registers, heavy_hitters
+
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{rng.randrange(2)}", f"k{rng.randrange(40)}", 1)
+        for _ in range(600)
+    ] + [("g0", "hot", 1)] * 200
+    df = spark.createDataFrame(
+        [(g, v) for g, v, _ in rows], "grp string, val string"
+    )
+    regs, est_ref, exact_ref = _cm_ref(rows)
+
+    got_regs = {
+        (r["grp"], r["row"], r["col"]): r["cnt"]
+        for r in cm_registers(df, ["grp"], "val").collect()
+    }
+    assert got_regs == dict(regs)
+
+    got = {
+        (r["grp"], r["key"]): (r["est"], r["exact"])
+        for r in heavy_hitters(df, ["grp"], "val").collect()
+    }
+    # report rows = (group, key) pairs that actually occur
+    assert set(got) == set(exact_ref)
+    for gk, (e, x) in got.items():
+        assert x == exact_ref[gk]
+        assert e == est_ref[gk]
+        assert e >= x  # the count-min guarantee
+    assert got[("g0", "hot")][0] >= 200
+
+
+def test_count_min_merge_halves_equals_whole(spark):
+    """Sum-merge of per-half sketches == the sketch of the whole — the
+    mergeability contract that makes the register table reusable across
+    partitions/days/engines."""
+    from openie_spark.dataops.frequency import cm_merge, cm_registers
+
+    rows = [(i, "g", f"k{i % 7}") for i in range(100)]
+    df = spark.createDataFrame(rows, "i long, grp string, val string")
+    a = cm_registers(df.filter("i % 2 = 0"), ["grp"], "val")
+    b = cm_registers(df.filter("i % 2 = 1"), ["grp"], "val")
+    whole = {
+        (r["grp"], r["row"], r["col"]): r["cnt"]
+        for r in cm_registers(df, ["grp"], "val").collect()
+    }
+    merged = {
+        (r["grp"], r["row"], r["col"]): r["cnt"]
+        for r in cm_merge(a, b).collect()
+    }
+    assert merged == whole
+
+
+def test_count_min_weighted_and_ungrouped(spark):
+    """weight_col scales register increments; group_cols=[] works (one
+    global sketch) and cm_estimate then probes without a group cross."""
+    from openie_spark.dataops.frequency import (
+        cm_estimate,
+        cm_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 2), ("b", 10)], "val string, w long"
+    )
+    regs = cm_registers(df, [], "val", weight_col="w")
+    est = {
+        r["key"]: r["est"]
+        for r in cm_estimate(
+            regs, df.select(F.col("val").alias("key"))
+        ).collect()
+    }
+    assert est["a"] >= 5 and est["b"] >= 10
+    # no collision possible between 2 keys in 512 columns across 4 rows
+    # unless md5 collides on all 4 — assert exact here
+    assert est == {"a": 5, "b": 10}
