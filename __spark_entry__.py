@@ -1162,6 +1162,19 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_activity_curve(spark, sf_dir):
+    """Daily active/new/returning/cumulative distinct users
+    (dataops/retention.py) over the events table — the first-seen
+    decomposition that replaces the quadratic expanding
+    count(DISTINCT): cum_keys is a running sum of first-appearances,
+    oracled against DuckDB computing the same curve from the SAME
+    decomposition expressed relationally (min(day) per user + window
+    sum). All integer counts."""
+    from openie_spark.dataops.retention import activity_curve
+
+    return activity_curve(_read(spark, sf_dir, "events"))
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Count-min heavy hitters (dataops/frequency.py): per event_type,
     every user's sketch estimate next to the exact count — the one-pass
@@ -1276,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": q_hits,
         "host_rollup": q_host_rollup,
         "heavy_hitters": q_heavy_hitters,
+        "activity_curve": q_activity_curve,
     }
 
 
@@ -2215,6 +2229,31 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - activity_curve: the same first-seen decomposition in SQL —
+        #   actives from a per-day distinct, news from min(day) per
+        #   user, cum as a window sum over the day frame. Integers.
+        "activity_curve": """
+            WITH act AS (
+              SELECT ts::DATE AS day,
+                     count(DISTINCT user_id)::BIGINT AS active_keys
+              FROM events GROUP BY 1
+            ),
+            fs AS (
+              SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY 1
+            ),
+            new AS (
+              SELECT day, count(*)::BIGINT AS new_keys FROM fs GROUP BY 1
+            )
+            SELECT a.day, a.active_keys,
+                   coalesce(n.new_keys, 0)::BIGINT AS new_keys,
+                   (a.active_keys - coalesce(n.new_keys, 0))::BIGINT
+                     AS returning_keys,
+                   sum(coalesce(n.new_keys, 0)) OVER (
+                     ORDER BY a.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum_keys
+            FROM act a LEFT JOIN new n ON a.day = n.day
+        """,
         # - heavy_hitters: the count-min pipeline replayed end to end —
         #   same md5 lane hashing ('r|value', first 8 hex chars mod
         #   512), same register sums, same min-over-lanes with absent

@@ -2068,3 +2068,52 @@ def test_count_min_weighted_and_ungrouped(spark):
     # no collision possible between 2 keys in 512 columns across 4 rows
     # unless md5 collides on all 4 — assert exact here
     assert est == {"a": 5, "b": 10}
+
+
+# ---------------------------------------------------------------- retention
+def test_activity_curve_brute_force(spark):
+    """activity_curve vs a python set replay: active = distinct keys
+    per day, new = first-appearance, returning = active - new, cum =
+    distinct ever seen (asserted against the true expanding set, not
+    the decomposition — pins that first-seen sums really equal the
+    cumulative distinct)."""
+    import datetime
+    import random
+    from collections import defaultdict
+
+    from openie_spark.dataops.retention import activity_curve
+
+    rng = random.Random(17)
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + datetime.timedelta(
+                days=rng.randrange(10), seconds=rng.randrange(86400)
+            ),
+            rng.randrange(25),
+        )
+        for _ in range(400)
+    ]
+    # a gap day: nothing on day 4
+    rows = [(t, u) for t, u in rows if t.day != 5]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+
+    per_day = defaultdict(set)
+    for t, u in rows:
+        per_day[t.date()].add(u)
+    seen = set()
+    expect = {}
+    for d in sorted(per_day):
+        act = per_day[d]
+        new = act - seen
+        seen |= act
+        expect[d] = (len(act), len(new), len(act) - len(new), len(seen))
+    got = {
+        r["day"]: (
+            r["active_keys"], r["new_keys"],
+            r["returning_keys"], r["cum_keys"],
+        )
+        for r in activity_curve(df).collect()
+    }
+    assert got == expect
+    assert datetime.date(2024, 3, 5) not in got  # gap day absent
