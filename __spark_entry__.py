@@ -1162,6 +1162,19 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """First-touch funnel signup -> view -> click -> purchase
+    (dataops/funnel.py) over a deterministic 1-in-7 event subsample
+    (so progress actually varies). Spark runs the one-shuffle greedy
+    array fold; the oracle recomputes the provably-equivalent iterated
+    conditional minimum (one min-join per step) — an independent
+    second implementation, not a replay. Integer outputs."""
+    from openie_spark.dataops.funnel import funnel
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    return funnel(ev, ["signup", "view", "click", "purchase"])
+
+
 def q_activity_curve(spark, sf_dir):
     """Daily active/new/returning/cumulative distinct users
     (dataops/retention.py) over the events table — the first-seen
@@ -1290,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rollup": q_host_rollup,
         "heavy_hitters": q_heavy_hitters,
         "activity_curve": q_activity_curve,
+        "funnel": q_funnel,
     }
 
 
@@ -2229,6 +2243,49 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - funnel: the iterated conditional minimum — t_{k+1} =
+        #   min(ts of step-(k+1) events strictly after t_k) — which is
+        #   provably the same as the operator's greedy sorted-array
+        #   fold. Strictly-after on raw timestamps (micros precision on
+        #   both engines).
+        "funnel": """
+            WITH src AS (
+              SELECT user_id, ts, event_type FROM events
+              WHERE event_id % 7 = 0
+            ),
+            u AS (SELECT DISTINCT user_id FROM src),
+            t1 AS (
+              SELECT user_id, min(ts) AS t FROM src
+              WHERE event_type = 'signup' GROUP BY 1
+            ),
+            t2 AS (
+              SELECT s.user_id, min(s.ts) AS t
+              FROM src s JOIN t1 ON s.user_id = t1.user_id
+              WHERE s.event_type = 'view' AND s.ts > t1.t GROUP BY 1
+            ),
+            t3 AS (
+              SELECT s.user_id, min(s.ts) AS t
+              FROM src s JOIN t2 ON s.user_id = t2.user_id
+              WHERE s.event_type = 'click' AND s.ts > t2.t GROUP BY 1
+            ),
+            t4 AS (
+              SELECT s.user_id, min(s.ts) AS t
+              FROM src s JOIN t3 ON s.user_id = t3.user_id
+              WHERE s.event_type = 'purchase' AND s.ts > t3.t GROUP BY 1
+            )
+            SELECT u.user_id AS user,
+                   (CASE WHEN t4.t IS NOT NULL THEN 4
+                         WHEN t3.t IS NOT NULL THEN 3
+                         WHEN t2.t IS NOT NULL THEN 2
+                         WHEN t1.t IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS steps_completed,
+                   (t4.t IS NOT NULL) AS converted
+            FROM u
+            LEFT JOIN t1 ON u.user_id = t1.user_id
+            LEFT JOIN t2 ON u.user_id = t2.user_id
+            LEFT JOIN t3 ON u.user_id = t3.user_id
+            LEFT JOIN t4 ON u.user_id = t4.user_id
+        """,
         # - activity_curve: the same first-seen decomposition in SQL —
         #   actives from a per-day distinct, news from min(day) per
         #   user, cum as a window sum over the day frame. Integers.

@@ -2117,3 +2117,83 @@ def test_activity_curve_brute_force(spark):
     }
     assert got == expect
     assert datetime.date(2024, 3, 5) not in got  # gap day absent
+
+
+# ---------------------------------------------------------------- funnel
+def test_funnel_brute_force_and_edges(spark):
+    """funnel vs a python greedy replay on random event streams, plus
+    the hand-built edge cases: out-of-order arrival (sorted by ts, not
+    input order), strict-after (same-timestamp step2 NOT accepted),
+    repeated steps, users with zero matching events."""
+    import datetime
+    import random
+
+    from openie_spark.dataops.funnel import funnel
+
+    def greedy(evs, steps):
+        k, last = 0, None
+        for tm, tp in sorted(evs):
+            if k < len(steps) and tp == steps[k] and (
+                last is None or tm > last
+            ):
+                k, last = k + 1, tm
+        return k
+
+    rng = random.Random(23)
+    types = ["view", "click", "buy", "noise"]
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    per_user = {}
+    for u in range(30):
+        evs = [
+            (
+                base + datetime.timedelta(seconds=rng.randrange(5000)),
+                rng.choice(types),
+            )
+            for _ in range(rng.randrange(1, 15))
+        ]
+        per_user[u] = evs
+        rows += [(u, t, tp) for t, tp in evs]
+    rng.shuffle(rows)  # arrival order is not time order
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "buy"]
+    got = {
+        r["user"]: (r["steps_completed"], r["converted"])
+        for r in funnel(df, steps).collect()
+    }
+    for u, evs in per_user.items():
+        k = greedy([(t, tp) for t, tp in evs], steps)
+        assert got[u] == (k, k == 3), u
+
+    # strict-after: click at the SAME instant as view is not step 2
+    t0 = datetime.datetime(2024, 5, 2)
+    df2 = spark.createDataFrame(
+        [
+            (1, t0, "view"), (1, t0, "click"),
+            (2, t0, "view"), (2, t0 + datetime.timedelta(seconds=1), "click"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got2 = {
+        r["user"]: r["steps_completed"]
+        for r in funnel(df2, ["view", "click"]).collect()
+    }
+    assert got2 == {1: 1, 2: 2}
+
+    # repeated steps need strictly increasing timestamps
+    df3 = spark.createDataFrame(
+        [(1, t0, "v"), (1, t0, "v"),
+         (2, t0, "v"), (2, t0 + datetime.timedelta(seconds=1), "v")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got3 = {
+        r["user"]: r["steps_completed"]
+        for r in funnel(df3, ["v", "v"]).collect()
+    }
+    assert got3 == {1: 1, 2: 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel(df3, [])
+    with _pytest.raises(ValueError):
+        funnel(df3, ["a'b"])
