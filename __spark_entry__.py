@@ -1162,6 +1162,18 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_corpus_cube(spark, sf_dir):
+    """Corpus composition CUBE over (lang, source)
+    (dataops/corpusstats.py): all subtotal levels in one Expand +
+    one aggregation pass — docs/tokens/chars per cell, with
+    grouping_id disambiguating subtotal rows from genuine NULL dims.
+    Oracle: DuckDB GROUP BY CUBE with GROUPING(), which emits the
+    identical bit encoding. All bigint."""
+    from openie_spark.dataops.corpusstats import corpus_cube
+
+    return corpus_cube(_read(spark, sf_dir, "documents"))
+
+
 def q_funnel(spark, sf_dir):
     """First-touch funnel signup -> view -> click -> purchase
     (dataops/funnel.py) over a deterministic 1-in-7 event subsample
@@ -1304,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters": q_heavy_hitters,
         "activity_curve": q_activity_curve,
         "funnel": q_funnel,
+        "corpus_cube": q_corpus_cube,
     }
 
 
@@ -2243,6 +2256,27 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - corpus_cube: DuckDB GROUP BY CUBE + GROUPING() — the same
+        #   subtotal lattice and the same grouping-bit encoding (first
+        #   dim = high bit) as Spark's cube()/grouping_id(). Token and
+        #   char counts are the repo's standard integer expressions,
+        #   computed per row before the cube.
+        "corpus_cube": r"""
+            WITH pre AS (
+              SELECT lang, source,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+'))
+                      END)::BIGINT AS tok,
+                     length(text)::BIGINT AS ch
+              FROM documents
+            )
+            SELECT lang, source,
+                   GROUPING(lang, source)::BIGINT AS gid,
+                   count(*)::BIGINT AS n_docs,
+                   sum(tok)::BIGINT AS n_tokens,
+                   sum(ch)::BIGINT AS n_chars
+            FROM pre GROUP BY CUBE(lang, source)
+        """,
         # - funnel: the iterated conditional minimum — t_{k+1} =
         #   min(ts of step-(k+1) events strictly after t_k) — which is
         #   provably the same as the operator's greedy sorted-array

@@ -2197,3 +2197,50 @@ def test_funnel_brute_force_and_edges(spark):
         funnel(df3, [])
     with _pytest.raises(ValueError):
         funnel(df3, ["a'b"])
+
+
+# ---------------------------------------------------------------- corpus cube
+def test_corpus_cube_brute_force_with_null_dim(spark):
+    """corpus_cube vs an enumerated python lattice, including a genuine
+    NULL lang: the gid bit (not the NULL in the dim column) is what
+    separates 'subtotal over lang' from 'lang IS NULL'."""
+    from itertools import product
+
+    from openie_spark.dataops.corpusstats import corpus_cube
+
+    rows = [
+        ("en", "web", "a b c"),
+        ("en", "web", "d e"),
+        ("en", "wiki", "f"),
+        (None, "web", "g h"),   # genuine NULL lang
+        ("de", "wiki", "  "),   # whitespace-only -> 0 tokens
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, text string")
+
+    def tok(t):
+        return len(t.strip().split()) if t.strip() else 0
+
+    expect = {}
+    for keep_lang, keep_src in product((True, False), repeat=2):
+        gid = (0 if keep_lang else 2) + (0 if keep_src else 1)
+        cells = {}
+        for lang, src, text in rows:
+            key = (lang if keep_lang else None, src if keep_src else None)
+            c = cells.setdefault(key, [0, 0, 0])
+            c[0] += 1
+            c[1] += tok(text)
+            c[2] += len(text)
+        for (lg, sc), (d, t, ch) in cells.items():
+            expect[(lg, sc, gid)] = (d, t, ch)
+
+    got = {
+        (r["lang"], r["source"], r["gid"]): (
+            r["n_docs"], r["n_tokens"], r["n_chars"]
+        )
+        for r in corpus_cube(df).collect()
+    }
+    assert got == expect
+    # the two (None, 'web') rows differ ONLY by gid: genuine-NULL cell
+    # counts 1 doc, the lang-subtotal cell counts 3
+    assert got[(None, "web", 0)][0] == 1
+    assert got[(None, "web", 2)][0] == 3
