@@ -1162,6 +1162,17 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_transitions(spark, sf_dir):
+    """Event-transition (Markov bigram) matrix (dataops/sessions.py)
+    over the events table: consecutive event-type pairs within each
+    user's (ts, event_id)-ordered stream, counted corpus-wide. Oracle:
+    the identical lag window in DuckDB. 25 integer cells at 5 event
+    types."""
+    from openie_spark.dataops.sessions import transition_matrix
+
+    return transition_matrix(_read(spark, sf_dir, "events"))
+
+
 def q_corpus_cube(spark, sf_dir):
     """Corpus composition CUBE over (lang, source)
     (dataops/corpusstats.py): all subtotal levels in one Expand +
@@ -1317,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "activity_curve": q_activity_curve,
         "funnel": q_funnel,
         "corpus_cube": q_corpus_cube,
+        "transitions": q_transitions,
     }
 
 
@@ -2256,6 +2268,21 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - transitions: the same per-user lag window in DuckDB — the
+        #   (ts, event_id) order key makes the pairing deterministic on
+        #   both engines.
+        "transitions": """
+            WITH lagged AS (
+              SELECT lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type,
+                     event_type AS next_type
+              FROM events
+            )
+            SELECT prev_type, next_type, count(*)::BIGINT AS n
+            FROM lagged WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
         # - corpus_cube: DuckDB GROUP BY CUBE + GROUPING() — the same
         #   subtotal lattice and the same grouping-bit encoding (first
         #   dim = high bit) as Spark's cube()/grouping_id(). Token and

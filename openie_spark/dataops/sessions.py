@@ -97,3 +97,32 @@ def stream_session_rollup(
         F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("max_ts_us"),
         F.sum(value_col).alias("value_sum"),
     )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """The corpus-wide event-transition (Markov bigram) matrix:
+    (prev_type, next_type, n) counting consecutive event pairs within
+    each user's time-ordered stream — the path-analysis aggregate
+    behind "what do users do after X". Row normalization (transition
+    probabilities) is one division the caller does; the counts stay
+    bigint under the hash contract.
+
+    Scale shape: ONE shuffle (the per-user window), then a groupBy on
+    the (prev, next) pair whose key space is |types|^2 — tiny — with
+    map-side combine. Ordering ties on ts break by event id, exactly
+    like :func:`sessionize`, so the pairing is deterministic on any
+    engine/layout."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    prev = F.lag(F.col(type_col)).over(w)
+    return (
+        events.select(prev.alias("prev_type"), F.col(type_col).alias("next_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

@@ -2244,3 +2244,44 @@ def test_corpus_cube_brute_force_with_null_dim(spark):
     # counts 1 doc, the lang-subtotal cell counts 3
     assert got[(None, "web", 0)][0] == 1
     assert got[(None, "web", 2)][0] == 3
+
+
+def test_transition_matrix_brute_force(spark):
+    """transition_matrix vs a python replay (sort by (ts, event_id)
+    per user, count consecutive pairs); single-event users contribute
+    nothing; ts ties ordered by event id."""
+    import datetime
+    import random
+    from collections import Counter, defaultdict
+
+    from openie_spark.dataops.sessions import transition_matrix
+
+    rng = random.Random(41)
+    t0 = datetime.datetime(2024, 6, 1)
+    rows = []
+    for eid in range(300):
+        rows.append(
+            (
+                eid,
+                rng.randrange(20),
+                t0 + datetime.timedelta(seconds=rng.randrange(50)),  # many ties
+                rng.choice("abcd"),
+            )
+        )
+    rows.append((999, 777, t0, "a"))  # singleton user
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    per_user = defaultdict(list)
+    for eid, u, ts, tp in rows:
+        per_user[u].append((ts, eid, tp))
+    expect = Counter()
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            expect[(a, b)] += 1
+    got = {
+        (r["prev_type"], r["next_type"]): r["n"]
+        for r in transition_matrix(df).collect()
+    }
+    assert got == dict(expect)
