@@ -675,3 +675,90 @@ def read_cardinality(spark: SparkSession, state_dir: str):
     return hll_estimate(
         spark.read.parquet(f"{state_dir}/v{cur:08d}/registers")
     )
+
+
+_FREQ_STATE_TABLES = ("registers",)
+
+
+def make_frequency_refresh(
+    state_dir: str,
+    group_cols,
+    value_col: str,
+    weight_col: Optional[str] = None,
+):
+    """foreachBatch callable for a streaming hot-key dashboard: each
+    micro-batch's count-min register table (dataops/frequency.py) is
+    SUM-merged with the previous state version into an immutable
+    ``v{epoch}/registers`` snapshot.
+
+    Sum-merge — unlike the HLL's max — is NOT idempotent, which is
+    exactly why the version discipline matters here: the old-state
+    lookup is bounded strictly below the current epoch, so a replayed
+    epoch (completed write, uncommitted checkpoint) re-derives the SAME
+    snapshot from the same inputs and overwrites it — idempotence at
+    the version level even though the merge op cannot provide it.
+    State stays bounded at groups*D*W rows per version; the registers
+    are a plain table any engine can re-aggregate or estimate from."""
+    from .dataops.frequency import cm_merge, cm_registers
+
+    group_cols = list(group_cols)
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = cm_registers(batch_df, group_cols, value_col, weight_col)
+        cur = _latest_state_version(
+            spark,
+            state_dir,
+            max_version=int(epoch_id) - 1,
+            tables=_FREQ_STATE_TABLES,
+        )
+        if cur is not None:
+            old = spark.read.parquet(f"{state_dir}/v{cur:08d}/registers")
+            new = cm_merge(old, delta)
+        else:
+            new = delta
+        new.write.mode("overwrite").parquet(
+            f"{state_dir}/v{int(epoch_id):08d}/registers"
+        )
+
+    return refresh
+
+
+def start_frequency_refresh(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols,
+    value_col: str,
+    weight_col: Optional[str] = None,
+    trigger_seconds: Optional[int] = None,
+):
+    """Wire :func:`make_frequency_refresh` as a foreachBatch sink."""
+    refresh = make_frequency_refresh(
+        state_dir, group_cols, value_col, weight_col
+    )
+    writer = (
+        stream_df.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_frequency(spark: SparkSession, state_dir: str):
+    """The latest COMPLETE count-min register snapshot (or None before
+    the first version). Because registers sum-merge and every row is
+    counted in exactly one micro-batch, the stream-folded snapshot is
+    IDENTICAL to batch cm_registers over the concatenated input; pipe
+    it into dataops.frequency.cm_estimate with a key set to get the
+    hot-key upper bounds."""
+    cur = _latest_state_version(
+        spark, state_dir, tables=_FREQ_STATE_TABLES
+    )
+    if cur is None:
+        return None
+    return spark.read.parquet(f"{state_dir}/v{cur:08d}/registers")

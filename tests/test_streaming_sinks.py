@@ -574,3 +574,89 @@ def test_streaming_cardinality_equals_batch_and_retry_idempotent(
         for r in spark.read.parquet(f"{state2}/v00000001/registers").collect()
     }
     assert once == twice
+
+
+def test_streaming_frequency_equals_batch_and_retry_safe(spark, tmp_path):
+    """Streaming count-min refresh: the stream-folded register snapshot
+    equals batch cm_registers over the concatenated input (every row
+    summed exactly once), estimates match, AND a replayed epoch does
+    not double-count — the property that matters precisely because
+    sum-merge is not idempotent."""
+    import os
+
+    from openie_spark.dataops.frequency import cm_estimate, cm_registers
+    from openie_spark.streaming import (
+        make_frequency_refresh,
+        read_frequency,
+        start_frequency_refresh,
+    )
+
+    batches = [
+        [(f"g{i % 2}", f"tok{(i * 3 + b) % 20}") for i in range(40)]
+        for b in range(3)
+    ]
+    src = tmp_path / "drops"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "grp string, val string").coalesce(
+            1
+        ).write.parquet(str(src / f"part{i}"))
+
+    assert read_frequency(spark, str(tmp_path / "state")) is None
+
+    stream = (
+        spark.readStream.schema("grp string, val string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_frequency_refresh(
+        stream,
+        str(tmp_path / "state"),
+        str(tmp_path / "ck"),
+        ["grp"],
+        "val",
+    )
+    q.awaitTermination(180)
+
+    regs_stream = read_frequency(spark, str(tmp_path / "state"))
+    got = {tuple(r) for r in regs_stream.collect()}
+    all_rows = [r for rows in batches for r in rows]
+    all_df = spark.createDataFrame(all_rows, "grp string, val string")
+    want = {
+        tuple(r) for r in cm_registers(all_df, ["grp"], "val").collect()
+    }
+    assert got == want
+    # estimates from the snapshot == estimates from batch registers
+    keys = all_df.select(F.col("val").alias("key")).distinct()
+    est_stream = {
+        (r["grp"], r["key"]): r["est"]
+        for r in cm_estimate(regs_stream, keys).collect()
+    }
+    est_batch = {
+        (r["grp"], r["key"]): r["est"]
+        for r in cm_estimate(
+            cm_registers(all_df, ["grp"], "val"), keys
+        ).collect()
+    }
+    assert est_stream == est_batch
+    n_versions = len(
+        [d for d in os.listdir(tmp_path / "state") if d.startswith("v")]
+    )
+    assert n_versions == 3
+
+    # replayed epoch must NOT double-count (version-level idempotence)
+    state2 = tmp_path / "state2"
+    refresh = make_frequency_refresh(str(state2), ["grp"], "val")
+    d0 = spark.createDataFrame(batches[0], "grp string, val string")
+    d1 = spark.createDataFrame(batches[1], "grp string, val string")
+    refresh(d0, 0)
+    refresh(d1, 1)
+    once = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state2}/v00000001/registers").collect()
+    }
+    refresh(d1, 1)  # replay epoch 1 verbatim
+    twice = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state2}/v00000001/registers").collect()
+    }
+    assert once == twice
