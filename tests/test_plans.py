@@ -223,3 +223,64 @@ def test_hll_aggs_have_mapside_partial_combine(spark):
     assert plan.count("Exchange") <= 2, plan[:3000]
     assert "partial_max" in plan or "partial" in plan, plan[:3000]
     assert "BatchEvalPython" not in plan
+
+
+def test_count_min_plans_are_jvm_and_partial(spark):
+    """cm_registers: one exchange with a partial map-side sum before
+    it (the register table arrives pre-collapsed); cm_estimate over a
+    small key set: probe side broadcast, never a row-wise cartesian of
+    keys x registers, and nothing drops to Python."""
+    from openie_spark.dataops.frequency import cm_estimate, cm_registers
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", f"v{i % 50}") for i in range(400)],
+        "grp string, val string",
+    )
+    regs = cm_registers(df, ["grp"], "val")
+    plan = _plan(regs)
+    assert plan.count("Exchange") <= 1, plan[:3000]
+    assert "partial_sum" in plan or "partial" in plan, plan[:3000]
+    assert "BatchEvalPython" not in plan
+
+    from pyspark.sql import functions as F
+
+    est = cm_estimate(regs, df.select(F.col("val").alias("key")))
+    eplan = _plan(est)
+    assert "CartesianProduct" not in eplan, eplan[:3000]
+    assert "BatchEvalPython" not in eplan
+
+
+def test_cube_is_single_expand_single_agg_exchange(spark):
+    """corpus_cube: the whole subtotal lattice is one Expand + one
+    aggregation exchange — never one job per grouping set."""
+    from openie_spark.dataops.corpusstats import corpus_cube
+
+    df = spark.createDataFrame(
+        [("en", "web", "a b"), ("de", "wiki", "c")],
+        "lang string, source string, text string",
+    )
+    plan = _plan(corpus_cube(df))
+    assert plan.count("Expand") >= 1, plan[:3000]
+    assert plan.count("Exchange") <= 1, plan[:3000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_and_transitions_single_shuffle(spark):
+    """funnel: one exchange (the user groupBy) and the fold stays in
+    JVM expressions; transition_matrix: the user window exchange plus
+    the tiny pair-count agg, no Python anywhere."""
+    from openie_spark.dataops.funnel import funnel
+    from openie_spark.dataops.sessions import transition_matrix
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "a")],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr(
+        "event_id", "user_id", "cast(ts as timestamp) ts", "event_type"
+    )
+    fplan = _plan(funnel(df, ["a", "b"]))
+    assert fplan.count("Exchange") <= 1, fplan[:3000]
+    assert "BatchEvalPython" not in fplan
+    tplan = _plan(transition_matrix(df))
+    assert tplan.count("Exchange") <= 2, tplan[:3000]
+    assert "BatchEvalPython" not in tplan
