@@ -1162,6 +1162,20 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_histogram(spark, sf_dir):
+    """Integer-binned value histogram (dataops/histogram.py) of
+    events.value over [0, 500) x 20 bins, grouped by event_type —
+    per-row micros quantization + one integer multiply/div per row, so
+    a boundary value can never mis-bin by an ulp on either engine.
+    Under/overflow bins kept; totals reconcile to count(*)."""
+    from openie_spark.dataops.histogram import histogram
+
+    return histogram(
+        _read(spark, sf_dir, "events"), "value", 0.0, 500.0, 20,
+        ["event_type"],
+    )
+
+
 def q_transitions(spark, sf_dir):
     """Event-transition (Markov bigram) matrix (dataops/sessions.py)
     over the events table: consecutive event-type pairs within each
@@ -1329,6 +1343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "corpus_cube": q_corpus_cube,
         "transitions": q_transitions,
+        "histogram": q_histogram,
     }
 
 
@@ -2268,6 +2283,28 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - histogram: the identical integer-micros binning in DuckDB —
+        #   round(v*1e6)::BIGINT per row, then one multiply + `//`;
+        #   edges derived from the bin index the same way.
+        "histogram": """
+            WITH binned AS (
+              SELECT event_type,
+                     (CASE WHEN vm < 0 THEN -1
+                           WHEN vm >= 500000000 THEN 20
+                           ELSE (vm - 0) * 20 // 500000000 END)::BIGINT
+                       AS bin
+              FROM (
+                SELECT event_type, round(value * 1e6)::BIGINT AS vm
+                FROM events
+              )
+            )
+            SELECT event_type, bin,
+                   (CASE WHEN bin >= 0 AND bin < 20
+                         THEN 0 + bin * 500000000 // 20 END)::BIGINT
+                     AS bin_lo_micros,
+                   count(*)::BIGINT AS n
+            FROM binned GROUP BY 1, 2
+        """,
         # - transitions: the same per-user lag window in DuckDB — the
         #   (ts, event_id) order key makes the pairing deterministic on
         #   both engines.

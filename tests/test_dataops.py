@@ -2285,3 +2285,51 @@ def test_transition_matrix_brute_force(spark):
         for r in transition_matrix(df).collect()
     }
     assert got == dict(expect)
+
+
+# ---------------------------------------------------------------- histogram
+def test_histogram_brute_force_and_boundaries(spark):
+    """histogram vs a python replica using the SAME integer-micros
+    binning; exact-boundary values land in the right bin (the ulp
+    hazard the integer form exists to kill); under/overflow kept as
+    bins -1 / n_bins; totals reconcile with row counts; grouped path."""
+    import random
+
+    from openie_spark.dataops.histogram import histogram
+
+    rng = random.Random(47)
+    lo, hi, nb = 0.0, 10.0, 5
+    lo_m, hi_m = round(lo * 1e6), round(hi * 1e6)
+    vals = [round(rng.uniform(-2, 12), 3) for _ in range(400)]
+    # exact bin edges: 2.0 must open bin 1, 9.999999 stays in bin 4,
+    # 10.0 overflows, -0.0000004 rounds to -0.0 micros -> bin 0
+    vals += [2.0, 4.0, 9.999999, 10.0, -0.0000004, -5.0, 0.01]
+    rows = [(f"g{i % 2}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+
+    def ref_bin(v):
+        vm = round(v * 1e6)
+        if vm < lo_m:
+            return -1
+        if vm >= hi_m:
+            return nb
+        return (vm - lo_m) * nb // (hi_m - lo_m)
+
+    from collections import Counter
+
+    expect = Counter((g, ref_bin(v)) for g, v in rows)
+    got = {}
+    for r in histogram(df, "value", lo, hi, nb, ["grp"]).collect():
+        got[(r["grp"], r["bin"])] = r["n"]
+        if 0 <= r["bin"] < nb:
+            assert r["bin_lo_micros"] == lo_m + r["bin"] * (hi_m - lo_m) // nb
+        else:
+            assert r["bin_lo_micros"] is None
+    assert got == dict(expect)
+    assert sum(got.values()) == len(rows)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        histogram(df, "value", 0.0, 10.0, 0)
+    with _pytest.raises(ValueError):
+        histogram(df, "value", 5.0, 5.0, 3)
