@@ -1162,6 +1162,22 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_crawl_frontier(spark, sf_dir):
+    """Next-wave crawl frontier (weblinks.py) over the multi-host link
+    graph: unseen destinations (seen = every crawled page, i.e. every
+    distinct src_url), deduped with inlink-count priority, capped at 3
+    per host with a deterministic (n_inlinks desc, url) order. Oracle
+    composes the link-graph SQL with the same anti-join + QUALIFY
+    window."""
+    from openie_spark.weblinks import crawl_frontier, link_graph
+
+    links = link_graph(
+        _synth_pages(_read(spark, sf_dir, "documents"), multi_host=True)
+    )
+    seen = links.select(F.col("src_url").alias("url"))
+    return crawl_frontier(links, seen, per_host_cap=3)
+
+
 def q_histogram(spark, sf_dir):
     """Integer-binned value histogram (dataops/histogram.py) of
     events.value over [0, 500) x 20 bins, grouped by event_type —
@@ -1344,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cube": q_corpus_cube,
         "transitions": q_transitions,
         "histogram": q_histogram,
+        "crawl_frontier": q_crawl_frontier,
     }
 
 
@@ -2283,6 +2300,33 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - crawl_frontier: the multi-host link-graph SQL + the same
+        #   dedup/priority groupBy, anti-join against the crawled page
+        #   set, and per-host QUALIFY window with the identical
+        #   (n_inlinks desc, url) order.
+        "crawl_frontier": f"""
+            WITH lg AS MATERIALIZED (
+              SELECT * FROM ({_link_graph_oracle(multi_host=True)})
+            ),
+            cand AS (
+              SELECT dst_url AS url, count(*)::BIGINT AS n_inlinks
+              FROM lg GROUP BY 1
+            ),
+            unseen AS (
+              SELECT c.url, c.n_inlinks,
+                     regexp_extract(c.url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS host
+              FROM cand c
+              WHERE c.url NOT IN (SELECT DISTINCT src_url FROM lg)
+            )
+            SELECT url, host, n_inlinks, rank FROM (
+              SELECT url, host, n_inlinks,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY n_inlinks DESC, url
+                     )::BIGINT AS rank
+              FROM unseen
+            ) WHERE rank <= 3
+        """,
         # - histogram: the identical integer-micros binning in DuckDB —
         #   round(v*1e6)::BIGINT per row, then one multiply + `//`;
         #   edges derived from the bin index the same way.

@@ -231,6 +231,50 @@ def host_rollup(
     )
 
 
+def crawl_frontier(
+    links: DataFrame,
+    seen: DataFrame,
+    per_host_cap: int = 100,
+    dst_col: str = "dst_url",
+    seen_col: str = "url",
+) -> DataFrame:
+    """The next crawl wave: (url, host, n_inlinks, rank) — distinct
+    destination urls not yet in ``seen``, prioritized by inlink count
+    (the cheapest useful importance prior) with a deterministic
+    tiebreak on url, and CAPPED per host (politeness + spider-trap
+    containment: one calendar-generating host cannot flood the wave).
+
+    Scale shape: one groupBy(dst) with map-side combine (dedup +
+    priority in the same pass), one anti-join against ``seen`` — both
+    sides hash-partitioned on the url key, the standard frontier
+    co-partitioning; at crawl scale keep ``seen`` bucketed on url so
+    this join never re-shuffles the big side — then one per-host window
+    whose output is bounded at hosts x cap rows. All outputs integer or
+    string; rank ordering is (n_inlinks desc, url), fully
+    deterministic."""
+    if per_host_cap <= 0:
+        raise ValueError("per_host_cap must be positive")
+    cand = (
+        links.groupBy(F.col(dst_col).alias("url"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inlinks"))
+    )
+    unseen = cand.join(
+        seen.select(F.col(seen_col).alias("url")).distinct(),
+        "url",
+        "left_anti",
+    ).withColumn("host", host_of(F.col("url")))
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_inlinks"), F.asc("url")
+    )
+    return (
+        unseen.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= per_host_cap)
+        .select("url", "host", "n_inlinks", "rank")
+    )
+
+
 def link_graph(
     df: DataFrame,
     url_col: str = "url",

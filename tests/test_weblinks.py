@@ -210,3 +210,40 @@ def test_host_rollup_port_and_case_handling(spark):
     # the first is internal
     assert got["a.com"] == (2, 2, 1)
     assert got["b.org"] == (0, 0, 0)
+
+def test_crawl_frontier_cap_priority_and_seen(spark):
+    """crawl_frontier: seen urls excluded, duplicates collapsed with
+    inlink counts as priority, per-host cap enforced with the
+    (n_inlinks desc, url) deterministic order."""
+    import pytest as _pytest
+
+    from openie_spark.weblinks import crawl_frontier
+
+    links = spark.createDataFrame(
+        [
+            ("https://a.com/p", "https://b.org/hot"),
+            ("https://a.com/q", "https://b.org/hot"),
+            ("https://a.com/p", "https://b.org/warm"),
+            ("https://a.com/p", "https://b.org/cold1"),
+            ("https://a.com/q", "https://b.org/cold2"),
+            ("https://a.com/p", "https://c.net/x"),
+            ("https://a.com/p", "https://a.com/q"),  # already seen
+        ],
+        "src_url string, dst_url string",
+    )
+    seen = spark.createDataFrame(
+        [("https://a.com/p",), ("https://a.com/q",)], "url string"
+    )
+    got = {
+        r["url"]: (r["host"], r["n_inlinks"], r["rank"])
+        for r in crawl_frontier(links, seen, per_host_cap=3).collect()
+    }
+    # b.org capped at 3: hot(2) then cold1/cold2/warm by url asc -> cold1, cold2
+    assert got == {
+        "https://b.org/hot": ("b.org", 2, 1),
+        "https://b.org/cold1": ("b.org", 1, 2),
+        "https://b.org/cold2": ("b.org", 1, 3),
+        "https://c.net/x": ("c.net", 1, 1),
+    }
+    with _pytest.raises(ValueError):
+        crawl_frontier(links, seen, per_host_cap=0)
