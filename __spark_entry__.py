@@ -1162,6 +1162,32 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment join (dataops/dedup.py
+    containment_pairs): pairs where either side's shingle set is >= 80%
+    inside the intersection — the quote/excerpt/contamination relation
+    Jaccard misses. Same DF-capped posting-list candidates as
+    ngram_jaccard, integer micros both directions; oracle recomputes
+    the full pipeline over DuckDB list functions. The corpus is
+    augmented with deterministic 12-token EXCERPT docs (every 11th
+    doc, id + 100000) — true containment-1.0 relationships that
+    Jaccard would score near zero, synthesized identically on both
+    engines."""
+    from openie_spark.dataops.dedup import containment_pairs, normalized_text
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.split(normalized_text("text"), " ")
+    excerpts = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+    )
+    base = docs.select("doc_id", "source", "text").unionByName(excerpts)
+    return containment_pairs(
+        base, shingle_n=3, threshold_micros=800_000, blocking_col="source"
+    )
+
+
 def q_crawl_frontier(spark, sf_dir):
     """Next-wave crawl frontier (weblinks.py) over the multi-host link
     graph: unseen destinations (seen = every crawled page, i.e. every
@@ -1361,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transitions": q_transitions,
         "histogram": q_histogram,
         "crawl_frontier": q_crawl_frontier,
+        "containment": q_containment,
     }
 
 
@@ -2300,6 +2327,55 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - containment: the ngram_jaccard candidate pipeline with the
+        #   asymmetric integer-micros verify — 1e6 * inter // size per
+        #   direction, keep if the larger clears 0.8.
+        "containment": f"""
+            WITH base AS (
+              SELECT doc_id, source, tk FROM (
+                SELECT doc_id, source, {toks} AS tk FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, source,
+                       string_split(array_to_string(tk0[1:12], ' '), ' ')
+                FROM (SELECT doc_id, source, {toks} AS tk0 FROM documents)
+                WHERE doc_id % 11 = 0
+              )
+            ),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(
+                       generate_series(0, greatest(len(tk) - 3, 0)),
+                       i -> array_to_string(tk[i + 1 : i + 3], ' ')
+                     )) AS shs
+              FROM base
+            ),
+            expl AS (SELECT doc_id, source, unnest(shs) AS s FROM sh),
+            df_ok AS (SELECT s FROM expl GROUP BY s HAVING count(*) <= 1000),
+            posts AS (SELECT e.doc_id, e.source, e.s
+                      FROM expl e JOIN df_ok USING (s)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM posts a JOIN posts b ON a.s = b.s AND a.source = b.source
+                            AND a.doc_id < b.doc_id
+            ),
+            v AS (
+              SELECT c.id_a, c.id_b,
+                     len(list_intersect(sa.shs, sb.shs))::BIGINT AS inter,
+                     len(sa.shs)::BIGINT AS size_a,
+                     len(sb.shs)::BIGINT AS size_b
+              FROM cand c
+              JOIN sh sa ON sa.doc_id = c.id_a
+              JOIN sh sb ON sb.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, inter, size_a, size_b,
+                   ((1000000 * inter) // size_a)::BIGINT
+                     AS containment_a_micros,
+                   ((1000000 * inter) // size_b)::BIGINT
+                     AS containment_b_micros
+            FROM v
+            WHERE greatest((1000000 * inter) // size_a,
+                           (1000000 * inter) // size_b) >= 800000
+        """,
         # - crawl_frontier: the multi-host link-graph SQL + the same
         #   dedup/priority groupBy, anti-join against the crawled page
         #   set, and per-host QUALIFY window with the identical

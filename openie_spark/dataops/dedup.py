@@ -485,6 +485,117 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold_micros: int = 800_000,
+    blocking_col: Optional[str] = None,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC overlap detection: pairs where either document's
+    shingle set is >= threshold contained in the intersection —
+    ``containment(A, B) = |A ∩ B| / |A|`` — the quote/excerpt/
+    boilerplate-inclusion relation that symmetric Jaccard structurally
+    misses (a paragraph quoted inside a book has Jaccard ≈ |p|/|book|
+    ≈ 0 but containment(p) = 1; train-eval contamination is usually
+    THIS shape: the eval item embedded in a larger page).
+
+    Candidates come from the same DF-capped shared-shingle posting join
+    as :func:`ngram_jaccard_pairs` (a contained document shares ALL its
+    shingles, so any non-stop shingle surfaces the pair; ``max_shingle_df``
+    bounds hub-shingle fan-out). Verification joins the two
+    pre-aggregated shingle arrays and emits integer micros both
+    directions: (id_a, id_b, inter, size_a, size_b,
+    containment_a_micros, containment_b_micros), keeping pairs where
+    the LARGER direction clears ``threshold_micros``. All counts and
+    micros are integers (``1e6 * inter div size``), so the operator
+    sits under the full value-hash contract."""
+    cols = [
+        F.col(id_col).alias("_id"),
+        word_shingles(text_col, shingle_n).alias("shs"),
+    ]
+    if blocking_col:
+        cols.append(F.col(blocking_col).alias("_blk"))
+    sh = df.select(*cols)
+    exploded = sh.select(
+        "_id",
+        *(["_blk"] if blocking_col else []),
+        F.explode("shs").alias("sh"),
+    )
+    df_counts = (
+        exploded.groupBy("sh").count().filter(F.col("count") <= max_shingle_df)
+    )
+    exploded = exploded.join(
+        F.broadcast(df_counts.select("sh")), "sh", "left_semi"
+    )
+    join_keys = ["sh"] + (["_blk"] if blocking_col else [])
+    a = exploded.select(*join_keys, F.col("_id").alias("id_a"))
+    b = exploded.select(*join_keys, F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .cache()
+    )
+    # verify on pre-aggregated arrays, shingling ONLY candidate docs
+    # (the r4 verify_jaccard lesson: semi-join before the projection)
+    ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    arrs = (
+        df.join(ids, id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("_id"),
+            word_shingles(text_col, shingle_n).alias("shs"),
+        )
+    )
+    joined = (
+        cand.join(
+            arrs.select(
+                F.col("_id").alias("id_a"), F.col("shs").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("_id").alias("id_b"), F.col("shs").alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sa", "_sb")).cast("long").alias("inter"),
+            F.size("_sa").cast("long").alias("size_a"),
+            F.size("_sb").cast("long").alias("size_b"),
+        )
+    )
+    out = joined.select(
+        "id_a",
+        "id_b",
+        "inter",
+        "size_a",
+        "size_b",
+        F.expr("(1000000 * inter) div size_a").cast("long").alias(
+            "containment_a_micros"
+        ),
+        F.expr("(1000000 * inter) div size_b").cast("long").alias(
+            "containment_b_micros"
+        ),
+    )
+    return out.filter(
+        F.greatest(
+            F.col("containment_a_micros"), F.col("containment_b_micros")
+        )
+        >= threshold_micros
+    )
+
+
 # ---- SimHash ----------------------------------------------------------------
 
 def simhash_df(

@@ -2333,3 +2333,62 @@ def test_histogram_brute_force_and_boundaries(spark):
         histogram(df, "value", 0.0, 10.0, 0)
     with _pytest.raises(ValueError):
         histogram(df, "value", 5.0, 5.0, 3)
+
+
+# ---------------------------------------------------------------- containment
+def test_containment_pairs_brute_force(spark):
+    """containment_pairs vs a python shingle-set replay: a short doc
+    fully quoted inside a long one is found at containment 1.0 even
+    though its Jaccard is tiny; symmetric near-dups appear in both
+    directions; sub-threshold overlap filtered; counts exact."""
+    from openie_spark.dataops.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "intro paragraph here with words . "
+        + quote
+        + " . closing remarks follow with more unrelated words "
+        + "alpha beta gamma delta epsilon zeta eta theta"
+    )
+    rows = [
+        (1, long_doc),
+        (2, quote),                       # contained in 1
+        (3, quote + " completely"),       # near-dup of 2
+        (4, "something entirely different about spark engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["inter"], r["size_a"], r["size_b"],
+            r["containment_a_micros"], r["containment_b_micros"],
+        )
+        for r in containment_pairs(
+            df, shingle_n=3, threshold_micros=800_000
+        ).collect()
+    }
+
+    def shingles(t):
+        import re
+        toks = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        return {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 1))
+        }
+
+    texts = dict(rows)
+    expect = {}
+    for a in sorted(texts):
+        for b in sorted(texts):
+            if a >= b:
+                continue
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            ca = 1_000_000 * inter // len(sa)
+            cb = 1_000_000 * inter // len(sb)
+            if max(ca, cb) >= 800_000:
+                expect[(a, b)] = (inter, len(sa), len(sb), ca, cb)
+    assert got == expect
+    assert (1, 2) in got                      # the quote is found
+    assert got[(1, 2)][4] == 1_000_000        # containment_b == 1.0
+    assert got[(1, 2)][3] < 300_000           # Jaccard-direction tiny
