@@ -1162,6 +1162,19 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_top_paths(spark, sf_dir):
+    """Top-20 session paths (dataops/sessions.py top_paths): sessions
+    from the standard 1800s gap sessionize, path = first 5 event types
+    '>'-joined in (ts, event_id) order, deterministic (n desc, path)
+    top-k. Oracle replays gaps-and-islands + ordered string_agg in
+    DuckDB."""
+    from openie_spark.dataops.sessions import top_paths
+
+    return top_paths(
+        _read(spark, sf_dir, "events"), path_len=5, k=20
+    )
+
+
 def q_containment(spark, sf_dir):
     """Asymmetric containment join (dataops/dedup.py
     containment_pairs): pairs where either side's shingle set is >= 80%
@@ -1388,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram": q_histogram,
         "crawl_frontier": q_crawl_frontier,
         "containment": q_containment,
+        "top_paths": q_top_paths,
     }
 
 
@@ -2327,6 +2341,53 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - top_paths: gaps-and-islands sessionization (same 1800s gap
+        #   and (ts, event_id) order as the operator), first-5 types
+        #   per session via an ordered string_agg, deterministic top-k.
+        "top_paths": """
+            WITH ord AS (
+              SELECT user_id, ts, event_id, event_type,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev
+              FROM events
+            ),
+            sess AS (
+              SELECT *, sum(
+                       CASE WHEN prev IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END
+                     ) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS session_seq
+              FROM ord
+            ),
+            pos AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY user_id, session_seq
+                       ORDER BY ts, event_id
+                     ) AS p
+              FROM sess
+            ),
+            paths AS (
+              SELECT user_id, session_seq,
+                     string_agg(event_type, '>' ORDER BY p) AS path
+              FROM pos WHERE p <= 5 GROUP BY 1, 2
+            ),
+            cnt AS (
+              SELECT path, count(*)::BIGINT AS n_sessions
+              FROM paths GROUP BY 1
+            )
+            SELECT path, n_sessions, rank FROM (
+              SELECT path, n_sessions,
+                     row_number() OVER (
+                       ORDER BY n_sessions DESC, path
+                     )::BIGINT AS rank
+              FROM cnt
+            ) WHERE rank <= 20
+        """,
         # - containment: the ngram_jaccard candidate pipeline with the
         #   asymmetric integer-micros verify — 1e6 * inter // size per
         #   direction, keep if the larger clears 0.8.

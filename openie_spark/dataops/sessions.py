@@ -126,3 +126,57 @@ def transition_matrix(
         .groupBy("prev_type", "next_type")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_seconds: int = 1800,
+    path_len: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """The k most common session paths: (path, n_sessions, rank) where
+    ``path`` is the '>'-joined sequence of the session's first
+    ``path_len`` event types — the "what do sessions look like"
+    aggregate behind UX funnels and bot-pattern triage.
+
+    Built on :func:`sessionize` (same gap and deterministic
+    (ts, event_id) ordering): one user-window shuffle to tag sessions
+    and rank events, one groupBy((user, session)) collecting the
+    first-``path_len`` types JVM-side, one groupBy(path) count — path
+    cardinality is bounded by |types|^path_len, tiny — and a final
+    global top-k window over that tiny aggregate, ordered
+    (n desc, path) so the cut is deterministic. Integer counts/ranks
+    under the hash contract."""
+    if path_len <= 0 or k <= 0:
+        raise ValueError("path_len and k must be positive")
+    tagged = sessionize(events, user_col, ts_col, id_col, gap_seconds)
+    w = Window.partitionBy(user_col, "session_seq").orderBy(
+        F.col(ts_col), F.col(id_col)
+    )
+    paths = (
+        tagged.withColumn("_pos", F.row_number().over(w))
+        .filter(F.col("_pos") <= path_len)
+        .groupBy(user_col, "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", F.col(type_col)))
+                    ),
+                    lambda s: s[type_col],
+                ),
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    top = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(top).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

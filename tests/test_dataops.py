@@ -2392,3 +2392,60 @@ def test_containment_pairs_brute_force(spark):
     assert (1, 2) in got                      # the quote is found
     assert got[(1, 2)][4] == 1_000_000        # containment_b == 1.0
     assert got[(1, 2)][3] < 300_000           # Jaccard-direction tiny
+
+
+def test_top_paths_brute_force(spark):
+    """top_paths vs a python replay of sessionize + first-N path
+    strings + deterministic top-k; exercises gap-split sessions, the
+    path_len truncation, and the (n desc, path) tiebreak."""
+    import datetime
+    import random
+    from collections import Counter, defaultdict
+
+    from openie_spark.dataops.sessions import top_paths
+
+    rng = random.Random(53)
+    t0 = datetime.datetime(2024, 7, 1)
+    rows = []
+    eid = 0
+    for u in range(15):
+        t = t0
+        for _ in range(rng.randrange(2, 12)):
+            gap = rng.choice([10, 20, 4000])  # 4000s splits the session
+            t = t + datetime.timedelta(seconds=gap)
+            rows.append((eid, u, t, rng.choice("xyz")))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    per_user = defaultdict(list)
+    for e, u, t, tp in rows:
+        per_user[u].append((t, e, tp))
+    counts = Counter()
+    for u, evs in per_user.items():
+        evs.sort()
+        sess, last = [], None
+        all_sessions = []
+        for t, e, tp in evs:
+            if last is None or (t - last).total_seconds() > 1800:
+                sess = []
+                all_sessions.append(sess)
+            sess.append(tp)
+            last = t
+        for s in all_sessions:
+            counts[">".join(s[:4])] += 1
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    expect = {
+        path: (n, i + 1) for i, (path, n) in enumerate(ranked)
+    }
+    got = {
+        r["path"]: (r["n_sessions"], r["rank"])
+        for r in top_paths(df, path_len=4, k=10).collect()
+    }
+    assert got == expect
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        top_paths(df, path_len=0)
+    with _pytest.raises(ValueError):
+        top_paths(df, k=0)
