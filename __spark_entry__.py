@@ -1162,6 +1162,18 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_rank_calibration(spark, sf_dir):
+    """Per-event-type rank calibration table (dataops/calibrate.py)
+    over events.value: integer percent-rank per DISTINCT quantized
+    value — the scalable form (window over distinct scores, not rows).
+    Oracle mirrors the cumulative-count ranking in DuckDB."""
+    from openie_spark.dataops.calibrate import rank_calibration
+
+    return rank_calibration(
+        _read(spark, sf_dir, "events"), "value", ["event_type"]
+    )
+
+
 def q_top_paths(spark, sf_dir):
     """Top-20 session paths (dataops/sessions.py top_paths): sessions
     from the standard 1800s gap sessionize, path = first 5 event types
@@ -1402,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,
         "containment": q_containment,
         "top_paths": q_top_paths,
+        "rank_calibration": q_rank_calibration,
     }
 
 
@@ -2341,6 +2354,32 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - rank_calibration: the same distinct-value cumulative-count
+        #   ranking in DuckDB — rank = 1 + running sum of smaller
+        #   values' counts, pr = 1e6*(rank-1) // (n-1). All integers.
+        "rank_calibration": """
+            WITH counts AS (
+              SELECT event_type, round(value * 1e6)::BIGINT AS value_micros,
+                     count(*)::BIGINT AS n_rows
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT event_type, value_micros, n_rows,
+                     (1 + coalesce(sum(n_rows) OVER (
+                        PARTITION BY event_type ORDER BY value_micros
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                      ), 0))::BIGINT AS rank,
+                     sum(n_rows) OVER (
+                       PARTITION BY event_type
+                     )::BIGINT AS n_group
+              FROM counts
+            )
+            SELECT event_type, value_micros, n_rows, rank, n_group,
+                   (CASE WHEN n_group > 1
+                         THEN (1000000 * (rank - 1)) // (n_group - 1)
+                         ELSE 0 END)::BIGINT AS pr_micros
+            FROM ranked
+        """,
         # - top_paths: gaps-and-islands sessionization (same 1800s gap
         #   and (ts, event_id) order as the operator), first-5 types
         #   per session via an ordered string_agg, deterministic top-k.

@@ -2449,3 +2449,54 @@ def test_top_paths_brute_force(spark):
         top_paths(df, path_len=0)
     with _pytest.raises(ValueError):
         top_paths(df, k=0)
+
+
+# ---------------------------------------------------------------- calibrate
+def test_rank_calibration_brute_force(spark):
+    """rank_calibration vs a python replay: SQL rank() tie semantics
+    (ties share the first row's rank), integer percent-rank endpoints
+    (min -> 0, max -> 1e6), single-row group -> 0, grouped and
+    ungrouped paths."""
+    import random
+    from collections import Counter
+
+    from openie_spark.dataops.calibrate import rank_calibration
+
+    rng = random.Random(59)
+    rows = [("a", round(rng.uniform(0, 5), 2)) for _ in range(200)]
+    rows += [("a", 1.25)] * 5            # heavy tie
+    rows += [("b", 42.0)]                # single-row group
+    df = spark.createDataFrame(rows, "grp string, value double")
+
+    expect = {}
+    for grp in ("a", "b"):
+        vals = Counter(
+            round(v * 1e6) for g, v in rows if g == grp
+        )
+        total = sum(vals.values())
+        run = 0
+        for vm in sorted(vals):
+            n = vals[vm]
+            rank = run + 1
+            pr = (1_000_000 * (rank - 1)) // (total - 1) if total > 1 else 0
+            expect[(grp, vm)] = (n, rank, total, pr)
+            run += n
+    got = {
+        (r["grp"], r["value_micros"]): (
+            r["n_rows"], r["rank"], r["n_group"], r["pr_micros"]
+        )
+        for r in rank_calibration(df, "value", ["grp"]).collect()
+    }
+    assert got == expect
+    assert got[("b", 42_000_000)] == (1, 1, 1, 0)
+    amin = min(vm for g, vm in got if g == "a")
+    amax = max(vm for g, vm in got if g == "a")
+    assert got[("a", amin)][3] == 0
+    assert got[("a", amax)][3] <= 1_000_000
+
+    # ungrouped path: one global frame
+    got_g = {
+        r["value_micros"]: r["pr_micros"]
+        for r in rank_calibration(df, "value").collect()
+    }
+    assert min(got_g.values()) == 0
