@@ -1162,6 +1162,29 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_bipartite(spark, sf_dir):
+    """Capped bipartite projection (graph_analytics.py
+    bipartite_project): customer co-purchase network from orders x
+    lineitem (customers sharing >= 8 distinct parts), hub parts capped
+    at degree 40 before pairing — the named operator behind every
+    co-occurrence graph in the repo. Oracle mirrors dedup, degree cap,
+    pairing, and HAVING in DuckDB."""
+    from openie_spark.graph_analytics import bipartite_project
+
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders")
+    rel = li.join(
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_custkey").alias("cust"),
+        ),
+        "l_orderkey",
+    ).select("cust", F.col("l_partkey").alias("part"))
+    return bipartite_project(
+        rel, "cust", "part", min_co=8, max_right_degree=40
+    )
+
+
 def q_rank_calibration(spark, sf_dir):
     """Per-event-type rank calibration table (dataops/calibrate.py)
     over events.value: integer percent-rank per DISTINCT quantized
@@ -1415,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "top_paths": q_top_paths,
         "rank_calibration": q_rank_calibration,
+        "bipartite": q_bipartite,
     }
 
 
@@ -2354,6 +2378,22 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
         ),
+        # - bipartite: dedup -> degree cap -> right-key self-join ->
+        #   pair count, identical thresholds.
+        "bipartite": """
+            WITH rel AS (
+              SELECT DISTINCT o.o_custkey AS l, li.l_partkey AS r
+              FROM lineitem li
+              JOIN orders o ON li.l_orderkey = o.o_orderkey
+            ),
+            ok AS (
+              SELECT r FROM rel GROUP BY r HAVING count(*) <= 40
+            ),
+            capped AS (SELECT rel.l, rel.r FROM rel JOIN ok USING (r))
+            SELECT a.l AS src, b.l AS dst, count(*)::BIGINT AS co
+            FROM capped a JOIN capped b ON a.r = b.r AND a.l < b.l
+            GROUP BY 1, 2 HAVING count(*) >= 8
+        """,
         # - rank_calibration: the same distinct-value cumulative-count
         #   ranking in DuckDB — rank = 1 + running sum of smaller
         #   values' counts, pr = 1e6*(rank-1) // (n-1). All integers.

@@ -248,6 +248,56 @@ def pagerank_micros(
     return ranks
 
 
+def bipartite_project(
+    df: DataFrame,
+    left_col: str,
+    right_col: str,
+    min_co: int = 1,
+    max_right_degree: Optional[int] = None,
+) -> DataFrame:
+    """Project a bipartite relation onto its left side: (src, dst, co)
+    edges between distinct left nodes that share >= ``min_co`` distinct
+    right values, src < dst canonical. This is THE graph constructor
+    behind co-mention, co-citation, co-purchase, and co-supply
+    networks (clustering_coeff's driver query builds exactly this
+    shape inline; here it is the named, capped operator).
+
+    Scale shape: the relation is deduped (one map-side-combinable
+    distinct), then self-joined ON THE RIGHT KEY — fan-out per right
+    value is degree², so ``max_right_degree`` is the load-bearing
+    knob: right values with more partners than the cap are dropped
+    before the join (the posting-list/DF-cap idiom from the dedup
+    family; a "stopword" right value that half the left side touches
+    contributes O(n²) pairs of pure noise). One groupBy((src, dst))
+    with map-side combine finishes. All counts bigint."""
+    if min_co < 1:
+        raise ValueError("min_co must be >= 1")
+    lr = (
+        df.select(
+            F.col(left_col).alias("_l"), F.col(right_col).alias("_r")
+        )
+        .distinct()
+    )
+    if max_right_degree is not None:
+        ok = (
+            lr.groupBy("_r")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") <= max_right_degree)
+            .select("_r")
+        )
+        lr = lr.join(F.broadcast(ok), "_r", "left_semi")
+    pairs = (
+        lr.alias("a")
+        .join(lr.alias("b"), "_r")
+        .filter(F.col("a._l") < F.col("b._l"))
+        .groupBy(
+            F.col("a._l").alias("src"), F.col("b._l").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    return pairs.filter(F.col("co") >= min_co)
+
+
 def hits_micros(
     edges: DataFrame,
     src: str = "src",

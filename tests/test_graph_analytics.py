@@ -364,3 +364,52 @@ def test_hits_micros_partition_layout_independent(spark):
     assert one == sorted(
         (v, a, h) for v, (a, h) in _hits_int(edges, 3).items()
     )
+
+def test_bipartite_project_brute_force_and_cap(spark):
+    """bipartite_project vs a python set replay: duplicate relation
+    rows collapse, co-counts exact, min_co filters, and the
+    max_right_degree cap drops hub right-values BEFORE pairing."""
+    from collections import Counter
+
+    from openie_spark.graph_analytics import bipartite_project
+
+    rows = [
+        ("u1", "a"), ("u1", "a"),       # dup collapses
+        ("u2", "a"), ("u3", "a"),
+        ("u1", "b"), ("u2", "b"),
+        ("u1", "c"), ("u2", "c"), ("u3", "c"), ("u4", "c"),  # hub value
+    ]
+    df = spark.createDataFrame(rows, "l string, r string")
+
+    def ref(cap):
+        rel = set(rows)
+        deg = Counter(r for _, r in rel)
+        co = Counter()
+        for u, r in rel:
+            for v, r2 in rel:
+                if r == r2 and u < v and (cap is None or deg[r] <= cap):
+                    co[(u, v)] += 1
+        return dict(co)
+
+    got = {
+        (r["src"], r["dst"]): r["co"]
+        for r in bipartite_project(df, "l", "r").collect()
+    }
+    assert got == ref(None)
+    got_cap = {
+        (r["src"], r["dst"]): r["co"]
+        for r in bipartite_project(
+            df, "l", "r", max_right_degree=3
+        ).collect()
+    }
+    assert got_cap == ref(3)
+    assert ("u3", "u4") not in got_cap  # only shared the hub value
+    got_min = {
+        (r["src"], r["dst"]): r["co"]
+        for r in bipartite_project(df, "l", "r", min_co=2).collect()
+    }
+    assert got_min == {k: v for k, v in ref(None).items() if v >= 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bipartite_project(df, "l", "r", min_co=0)
