@@ -1162,6 +1162,32 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_pagerank_weighted(spark, sf_dir):
+    """Weighted integer PageRank (graph_analytics.py weight_col=): the
+    same supply graph as q_pagerank but with edge weight = lineitem
+    pair multiplicity (link frequency), so a source's mass splits
+    proportionally — contribution = (rank * w) div sum_w. Oracle: the
+    weighted variant of the unrolled CTE chain."""
+    from openie_spark.graph_analytics import pagerank_micros
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.groupBy(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    rev = (
+        li.filter(F.col("l_partkey") % 5 == 0)
+        .groupBy(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    return pagerank_micros(
+        fwd.unionByName(rev), iterations=5, weight_col="w"
+    )
+
+
 def q_bipartite(spark, sf_dir):
     """Capped bipartite projection (graph_analytics.py
     bipartite_project): customer co-purchase network from orders x
@@ -1439,11 +1465,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_paths": q_top_paths,
         "rank_calibration": q_rank_calibration,
         "bipartite": q_bipartite,
+        "pagerank_weighted": q_pagerank_weighted,
     }
 
 
 def _pagerank_oracle(
-    iterations: int = 5, damping: int = 85, seeds=None
+    iterations: int = 5, damping: int = 85, seeds=None,
+    weighted: bool = False,
 ) -> str:
     """The pagerank_micros recurrence unrolled as a DuckDB CTE chain
     (r0 -> r{iterations}); every operation is bigint `//`, the exact
@@ -1459,8 +1487,27 @@ def _pagerank_oracle(
     else:
         in_list = ", ".join(f"'{s}'" for s in seeds)
         tset_where = f" WHERE node IN ({in_list})"
-    parts = [
-        f"""
+    if weighted:
+        # edge weight = lineitem pair multiplicity (mirrors the Spark
+        # query's groupBy-count edge build); mass splits as
+        # (rank * w) // sum_w — same integer quantization
+        e_cte = """
+        WITH e AS (
+          SELECT src, dst, sum(w)::BIGINT AS w FROM (
+            SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+                   count(*)::BIGINT AS w
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT 'p' || l_partkey, 's' || l_suppkey,
+                   count(*)::BIGINT
+            FROM lineitem WHERE l_partkey % 5 = 0 GROUP BY 1, 2
+          ) WHERE src <> dst GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, sum(w)::BIGINT AS deg FROM e GROUP BY src),"""
+        contrib_expr = "sum((r.rank_micros * e.w) // dg.deg)::BIGINT"
+    else:
+        e_cte = """
         WITH e AS (
           SELECT DISTINCT src, dst FROM (
             SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
@@ -1471,7 +1518,11 @@ def _pagerank_oracle(
           ) WHERE src <> dst
         ),
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+        deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),"""
+        contrib_expr = "sum(r.rank_micros // dg.deg)::BIGINT"
+    parts = [
+        e_cte
+        + f"""
         tset AS (SELECT node FROM nodes{tset_where}),
         tn AS (SELECT count(*)::BIGINT AS t FROM tset),
         r0 AS (
@@ -1492,7 +1543,7 @@ def _pagerank_oracle(
         ),
         c{i} AS (
           SELECT e.dst AS node,
-                 sum(r.rank_micros // dg.deg)::BIGINT AS in_sum
+                 {contrib_expr} AS in_sum
           FROM r{i} r
           JOIN deg dg ON r.node = dg.src
           JOIN e ON e.src = r.node
@@ -2377,6 +2428,12 @@ def oracle_sql() -> dict[str, str]:
         #   dangling share all seed-only) — personalized PageRank.
         "pagerank_seeded": _pagerank_oracle(
             iterations=5, damping=85, seeds=["s1", "s7", "s13"]
+        ),
+        # - pagerank_weighted: the same chain with weighted edges —
+        #   w = pair multiplicity, deg = sum(w), contribution =
+        #   (rank * w) // deg.
+        "pagerank_weighted": _pagerank_oracle(
+            iterations=5, damping=85, weighted=True
         ),
         # - bipartite: dedup -> degree cap -> right-key self-join ->
         #   pair count, identical thresholds.

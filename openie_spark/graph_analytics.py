@@ -120,6 +120,7 @@ def pagerank_micros(
     damping_pct: int = 85,
     num_partitions: Optional[int] = None,
     seeds: Optional[Sequence] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Quantized PageRank: (node, rank_micros) after ``iterations``
     synchronous power iterations, all arithmetic in INTEGER micro-units.
@@ -154,6 +155,17 @@ def pagerank_micros(
     ``total_teleport // |S|``, per-seed dangling share = ``dang //
     |S|``. Seeds absent from the graph are ignored; at least one must
     be present.
+
+    ``weight_col`` switches to WEIGHTED PageRank with positive integer
+    edge weights (link frequency, anchor counts): parallel edges
+    aggregate by weight sum and a source's mass splits proportionally,
+    ``contribution = (rank * w) div sum_w(source)`` — still one integer
+    multiply + floor division per edge, so the quantized contract is
+    unchanged (weights are bigints; rank <= 1e6, so the product stays
+    far inside int64 for any realistic weight). Rows with aggregate
+    weight <= 0 are dropped (a zero-weight edge is no edge). The
+    unweighted path is bit-identical to before: w = 1 makes
+    ``(rank * 1) div deg`` the exact old expression.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
@@ -161,11 +173,25 @@ def pagerank_micros(
     parts = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
-    e = (
-        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-        .filter(F.col("_s") != F.col("_d"))
-        .distinct()
-    )
+    if weight_col is None:
+        e = (
+            edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+            .filter(F.col("_s") != F.col("_d"))
+            .distinct()
+            .withColumn("_w", F.lit(1).cast("long"))
+        )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("_s"),
+                F.col(dst).alias("_d"),
+                F.col(weight_col).cast("long").alias("_w"),
+            )
+            .filter(F.col("_s") != F.col("_d"))
+            .groupBy("_s", "_d")
+            .agg(F.sum("_w").cast("long").alias("_w"))
+            .filter(F.col("_w") > 0)
+        )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -185,7 +211,9 @@ def pagerank_micros(
     else:
         is_tele = F.lit(True)
         tele_n = n
-    outdeg = e.groupBy(F.col("_s")).agg(F.count(F.lit(1)).alias("_deg"))
+    outdeg = e.groupBy(F.col("_s")).agg(
+        F.sum("_w").cast("long").alias("_deg")
+    )
     e_deg = e.join(outdeg, "_s").repartition(parts, "_s").persist()
     # nodes with no out-edges — static across iterations
     dangling_nodes = nodes.join(
@@ -205,7 +233,7 @@ def pagerank_micros(
                 ranks.join(e_deg, ranks["node"] == e_deg["_s"])
                 .select(
                     F.col("_d").alias("node"),
-                    F.expr("rank_micros div _deg").alias("c"),
+                    F.expr("(rank_micros * _w) div _deg").alias("c"),
                 )
                 .groupBy("node")
                 .agg(F.sum("c").cast("long").alias("in_sum"))

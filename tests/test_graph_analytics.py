@@ -7,6 +7,7 @@ import random
 from collections import defaultdict
 
 import pytest
+from pyspark.sql import functions as F
 
 from openie_spark.graph_analytics import (
     clustering_coefficients,
@@ -413,3 +414,71 @@ def test_bipartite_project_brute_force_and_cap(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bipartite_project(df, "l", "r", min_co=0)
+
+def _pagerank_int_weighted(edges_w, iterations, damping_pct=85):
+    """Weighted variant of _pagerank_int: edges_w is [(u, v, w)];
+    parallel edges sum their weights; contribution =
+    (rank * w) // sum_w(u)."""
+    from collections import defaultdict as dd
+
+    agg = dd(int)
+    for u, v, w in edges_w:
+        if u != v:
+            agg[(u, v)] += w
+    agg = {k: w for k, w in agg.items() if w > 0}
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    n = len(nodes)
+    if n == 0:
+        return {}
+    out = dd(list)
+    for (u, v), w in agg.items():
+        out[u].append((v, w))
+    wsum = {u: sum(w for _, w in vs) for u, vs in out.items()}
+    base = 1_000_000 // n
+    tele = ((100 - damping_pct) * 1_000_000 // 100) // n
+    rank = {v: base for v in nodes}
+    for _ in range(iterations):
+        in_sum = dd(int)
+        for u, vs in out.items():
+            for v, w in vs:
+                in_sum[v] += (rank[u] * w) // wsum[u]
+        dang = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: tele + (damping_pct * (in_sum.get(v, 0) + dang // n)) // 100
+            for v in nodes
+        }
+    return rank
+
+
+def test_weighted_pagerank_matches_integer_recurrence(spark):
+    """weight_col: parallel-edge weight aggregation, proportional mass
+    split, zero/negative aggregate weights dropped; w=1 everywhere
+    equals the unweighted operator exactly."""
+    rng = random.Random(61)
+    edges_w = [
+        (rng.randrange(20), rng.randrange(20), rng.randrange(1, 6))
+        for _ in range(70)
+    ] + [(1, 2, 3), (1, 2, 2), (5, 5, 9), (3, 4, 0)]
+    df = spark.createDataFrame(edges_w, "src long, dst long, w long")
+    got = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_micros(
+            df, iterations=4, weight_col="w"
+        ).collect()
+    }
+    assert got == _pagerank_int_weighted(edges_w, 4)
+
+    # w=1 on the DEDUPED pair set (per-row 1s on parallel edges would
+    # legitimately sum to >1 and split mass differently)
+    ones = (
+        df.select("src", "dst").distinct().withColumn("w", F.lit(1))
+    )
+    got_w1 = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_micros(ones, iterations=3, weight_col="w").collect()
+    }
+    got_un = {
+        r["node"]: r["rank_micros"]
+        for r in pagerank_micros(df, iterations=3).collect()
+    }
+    assert got_w1 == got_un
