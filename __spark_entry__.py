@@ -1162,6 +1162,26 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_domain_authority(spark, sf_dir):
+    """Domain authority: weighted integer PageRank over the HOST-level
+    link graph (weblinks host_of + graph_analytics pagerank_micros
+    weight_col=) — edge weight = number of links between the host pair,
+    the real crawl-ranking composition (crawl -> link graph -> host
+    rollup -> authority). Oracle: the weighted CTE chain over the
+    host-aggregated link-graph SQL."""
+    from openie_spark.graph_analytics import pagerank_micros
+    from openie_spark.weblinks import host_of, link_graph
+
+    links = link_graph(
+        _synth_pages(_read(spark, sf_dir, "documents"), multi_host=True)
+    )
+    edges = links.groupBy(
+        host_of(F.col("src_url")).alias("src"),
+        host_of(F.col("dst_url")).alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return pagerank_micros(edges, iterations=5, weight_col="w")
+
+
 def q_pagerank_weighted(spark, sf_dir):
     """Weighted integer PageRank (graph_analytics.py weight_col=): the
     same supply graph as q_pagerank but with edge weight = lineitem
@@ -1466,12 +1486,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_calibration": q_rank_calibration,
         "bipartite": q_bipartite,
         "pagerank_weighted": q_pagerank_weighted,
+        "domain_authority": q_domain_authority,
     }
 
 
 def _pagerank_oracle(
     iterations: int = 5, damping: int = 85, seeds=None,
-    weighted: bool = False,
+    weighted: bool = False, e_sql: str = None,
 ) -> str:
     """The pagerank_micros recurrence unrolled as a DuckDB CTE chain
     (r0 -> r{iterations}); every operation is bigint `//`, the exact
@@ -1487,7 +1508,19 @@ def _pagerank_oracle(
     else:
         in_list = ", ".join(f"'{s}'" for s in seeds)
         tset_where = f" WHERE node IN ({in_list})"
-    if weighted:
+    if e_sql is not None:
+        # arbitrary weighted edge source (src, dst, w) — MATERIALIZED:
+        # the chain references e once per iteration, and the source may
+        # itself be a heavy composition (the link-graph SQL)
+        e_cte = f"""
+        WITH e AS MATERIALIZED (
+          SELECT src, dst, sum(w)::BIGINT AS w FROM ({e_sql})
+          WHERE src <> dst GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        deg AS (SELECT src, sum(w)::BIGINT AS deg FROM e GROUP BY src),"""
+        contrib_expr = "sum((r.rank_micros * e.w) // dg.deg)::BIGINT"
+    elif weighted:
         # edge weight = lineitem pair multiplicity (mirrors the Spark
         # query's groupBy-count edge build); mass splits as
         # (rank * w) // sum_w — same integer quantization
@@ -2434,6 +2467,20 @@ def oracle_sql() -> dict[str, str]:
         #   (rank * w) // deg.
         "pagerank_weighted": _pagerank_oracle(
             iterations=5, damping=85, weighted=True
+        ),
+        # - domain_authority: the weighted chain over the host-level
+        #   aggregation of the multi-host link-graph SQL.
+        "domain_authority": _pagerank_oracle(
+            iterations=5,
+            damping=85,
+            e_sql=f"""
+              SELECT regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS src,
+                     regexp_extract(dst_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS dst,
+                     1 AS w
+              FROM ({_link_graph_oracle(multi_host=True)}) lg
+            """,
         ),
         # - bipartite: dedup -> degree cap -> right-key self-join ->
         #   pair count, identical thresholds.
