@@ -1162,6 +1162,19 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted index (dataops/invindex.py) over documents: (term,
+    doc_id, positions, tf) postings, df-pruned to terms in [2, 90%] of
+    docs — positions gathered shuffle-free inside array expressions.
+    Oracle replays tokenization, per-term position extraction, and the
+    df window in DuckDB list functions."""
+    from openie_spark.dataops.invindex import inverted_index
+
+    return inverted_index(
+        _read(spark, sf_dir, "documents"), min_df=2, max_df_frac=0.9
+    )
+
+
 def q_domain_authority(spark, sf_dir):
     """Domain authority: weighted integer PageRank over the HOST-level
     link graph (weblinks host_of + graph_analytics pagerank_micros
@@ -1487,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite": q_bipartite,
         "pagerank_weighted": q_pagerank_weighted,
         "domain_authority": q_domain_authority,
+        "inverted_index": q_inverted_index,
     }
 
 
@@ -2482,6 +2496,41 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - inverted_index: tokenize, one row per (doc, distinct term)
+        #   with 0-based positions via an indexed list_transform, then
+        #   distinct-doc frequency pruning — same [min_df, max_df]
+        #   bounds (max_df = floor(0.9 * n_docs)).
+        "inverted_index": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter({toks}, x -> x <> '') AS tk
+              FROM documents
+            ),
+            nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            expl AS (
+              SELECT doc_id, tk, unnest(list_distinct(tk)) AS term
+              FROM base
+            ),
+            posts AS (
+              SELECT term, doc_id,
+                     list_filter(
+                       list_transform(
+                         generate_series(1, len(tk)),
+                         i -> CASE WHEN tk[i] = term THEN i - 1 END
+                       ),
+                       p -> p IS NOT NULL
+                     ) AS positions
+              FROM expl
+            ),
+            dfreq AS (
+              SELECT term FROM posts CROSS JOIN nd
+              GROUP BY term, nd.n
+              HAVING count(*) >= 2 AND count(*) <= (n * 9 // 10)
+            )
+            SELECT p.term, p.doc_id, p.positions,
+                   len(p.positions)::BIGINT AS tf
+            FROM posts p JOIN dfreq USING (term)
+        """,
         # - bipartite: dedup -> degree cap -> right-key self-join ->
         #   pair count, identical thresholds.
         "bipartite": """

@@ -2500,3 +2500,68 @@ def test_rank_calibration_brute_force(spark):
         for r in rank_calibration(df, "value").collect()
     }
     assert min(got_g.values()) == 0
+
+
+# ---------------------------------------------------------------- invindex
+def test_inverted_index_brute_force(spark):
+    """inverted_index vs a python token replay: positions 0-based and
+    ascending, repeated terms collapse to one posting with all
+    positions, min_df/max_df_frac pruning on distinct-doc frequency."""
+    from collections import defaultdict
+
+    from openie_spark.dataops.invindex import inverted_index
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog  sat"),          # double space collapses
+        (3, "cat CAT cat"),           # case folds, tf 3
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm_toks(t):
+        import re
+        t = re.sub(r"\s+", " ", t.lower().strip())
+        return [x for x in t.split(" ") if x != ""]
+
+    expect = {}
+    docfreq = defaultdict(set)
+    for did, text in rows:
+        toks = norm_toks(text)
+        per = defaultdict(list)
+        for i, t in enumerate(toks):
+            per[t].append(i)
+        for t, ps in per.items():
+            expect[(t, did)] = (ps, len(ps))
+            docfreq[t].add(did)
+
+    got = {
+        (r["term"], r["doc_id"]): (list(r["positions"]), r["tf"])
+        for r in inverted_index(df).collect()
+    }
+    assert got == expect
+    assert got[("the", 1)] == ([0, 4], 2)
+    assert got[("cat", 3)] == ([0, 1, 2], 3)
+
+    # min_df=2 keeps only terms in >= 2 docs; max_df_frac prunes 'the'
+    # and 'cat' and 'sat' (each in 2/4 docs) at 0.25
+    got2 = {
+        k for k in (
+            (r["term"], r["doc_id"])
+            for r in inverted_index(df, min_df=2).collect()
+        )
+    }
+    assert got2 == {
+        (t, d) for (t, d) in expect if len(docfreq[t]) >= 2
+    }
+    got3 = {
+        (r["term"], r["doc_id"])
+        for r in inverted_index(df, max_df_frac=0.25).collect()
+    }
+    assert got3 == {
+        (t, d) for (t, d) in expect if len(docfreq[t]) <= 1
+    }
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        inverted_index(df, max_df_frac=0.0)
