@@ -284,3 +284,43 @@ def test_funnel_and_transitions_single_shuffle(spark):
     tplan = _plan(transition_matrix(df))
     assert tplan.count("Exchange") <= 2, tplan[:3000]
     assert "BatchEvalPython" not in tplan
+
+
+def test_late_r7_operators_plan_hygiene(spark):
+    """histogram: single partial-agg exchange; inverted_index: df
+    pruning is a BROADCAST semi-join and nothing drops to Python;
+    bipartite/host_rollup: equi-joins only, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from openie_spark.dataops.histogram import histogram
+    from openie_spark.dataops.invindex import inverted_index
+    from openie_spark.graph_analytics import bipartite_project
+    from openie_spark.weblinks import host_rollup
+
+    ev = spark.createDataFrame(
+        [("a", 1.5), ("b", 2.5)], "grp string, value double"
+    )
+    hplan = _plan(histogram(ev, "value", 0.0, 10.0, 4, ["grp"]))
+    assert hplan.count("Exchange") <= 1, hplan[:3000]
+    assert "BatchEvalPython" not in hplan
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    iplan = _plan(inverted_index(docs, min_df=1))
+    assert "BroadcastHashJoin" in iplan, iplan[:3000]
+    assert "CartesianProduct" not in iplan
+    assert "BatchEvalPython" not in iplan
+
+    rel = spark.createDataFrame([("u", "r")], "l string, r string")
+    bplan = _plan(bipartite_project(rel, "l", "r", max_right_degree=5))
+    assert "CartesianProduct" not in bplan, bplan[:3000]
+    assert "BatchEvalPython" not in bplan
+
+    links = spark.createDataFrame(
+        [("https://a.com/p", "https://b.org/x")],
+        "src_url string, dst_url string",
+    )
+    rplan = _plan(host_rollup(links))
+    assert "CartesianProduct" not in rplan, rplan[:3000]
+    assert "BatchEvalPython" not in rplan
