@@ -466,6 +466,52 @@ def main() -> None:
 
     bench("pagerank", _pagerank, repeat=2)
 
+    # r7 late additions — three representative spans (iterative graph
+    # sweep, sketch build+probe, per-user array fold); the pre-r7
+    # comparable subtotal is sum(times) minus these three keys
+    from openie_spark.graph_analytics import hits_micros
+
+    def _hits():
+        fwd = li_graph.select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        )
+        rev = li_graph.filter(F.col("l_partkey") % 5 == 0).select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        return force(hits_micros(fwd.unionByName(rev), iterations=4))
+
+    bench("hits", _hits, repeat=2)
+
+    from openie_spark.dataops.frequency import heavy_hitters
+
+    ev_tbl = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bench(
+        "heavy_hitters",
+        lambda: force(
+            heavy_hitters(
+                ev_tbl.select(
+                    "event_type",
+                    F.col("user_id").cast("string").alias("uid"),
+                ),
+                ["event_type"],
+                "uid",
+            )
+        ),
+        repeat=2,
+    )
+
+    from openie_spark.dataops.funnel import funnel as _funnel_op
+
+    bench(
+        "funnel",
+        lambda: force(
+            _funnel_op(ev_tbl, ["signup", "view", "click", "purchase"])
+        ),
+        repeat=2,
+    )
+
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     if scale_x > 1:
         # plain replication (keys constant, 10× rows): measures the agg's
