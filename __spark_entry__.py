@@ -1162,6 +1162,26 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_digraph_stats(spark, sf_dir):
+    """One-row integer digraph summary (graph_analytics.py
+    digraph_stats) of the q_pagerank supply graph — reciprocity (the
+    %5 reversed edges are exactly the reciprocal set), degree maxima
+    and moments, assortativity sufficient statistics. Oracle computes
+    the same aggregates relationally in DuckDB."""
+    from openie_spark.graph_analytics import digraph_stats
+
+    li = _read(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    rev = li.filter(F.col("l_partkey") % 5 == 0).select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    )
+    return digraph_stats(fwd.unionByName(rev))
+
+
 def q_inverted_index(spark, sf_dir):
     """Inverted index (dataops/invindex.py) over documents: (term,
     doc_id, positions, tf) postings, df-pruned to terms in [2, 90%] of
@@ -1501,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_weighted": q_pagerank_weighted,
         "domain_authority": q_domain_authority,
         "inverted_index": q_inverted_index,
+        "digraph_stats": q_digraph_stats,
     }
 
 
@@ -2496,6 +2517,44 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - digraph_stats: the same edge dedup, degree aggregations,
+        #   reversed-pair semi-join, and integer moments in DuckDB.
+        "digraph_stats": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst
+                FROM lineitem
+                UNION ALL
+                SELECT 'p' || l_partkey, 's' || l_suppkey
+                FROM lineitem WHERE l_partkey % 5 = 0
+              ) WHERE src <> dst
+            ),
+            od AS (SELECT src AS n, count(*)::BIGINT AS d
+                   FROM e GROUP BY 1),
+            idg AS (SELECT dst AS n, count(*)::BIGINT AS d
+                    FROM e GROUP BY 1),
+            ann AS MATERIALIZED (
+              SELECT o.d AS du, i.d AS dv
+              FROM e JOIN od o ON e.src = o.n JOIN idg i ON e.dst = i.n
+            )
+            SELECT
+              (SELECT count(*) FROM (
+                 SELECT src AS n FROM e UNION SELECT dst FROM e
+               ))::BIGINT AS n_nodes,
+              (SELECT count(*) FROM e)::BIGINT AS n_edges,
+              (SELECT count(*) FROM e a
+                WHERE EXISTS (SELECT 1 FROM e b
+                              WHERE b.src = a.dst AND b.dst = a.src)
+              )::BIGINT AS n_reciprocal,
+              (SELECT max(d) FROM od)::BIGINT AS max_out_degree,
+              (SELECT max(d) FROM idg)::BIGINT AS max_in_degree,
+              (SELECT sum(d * d) FROM od)::BIGINT AS sum_out_sq,
+              (SELECT sum(du) FROM ann)::BIGINT AS sum_du,
+              (SELECT sum(dv) FROM ann)::BIGINT AS sum_dv,
+              (SELECT sum(du * dv) FROM ann)::BIGINT AS sum_dudv,
+              (SELECT sum(du * du) FROM ann)::BIGINT AS sum_du2,
+              (SELECT sum(dv * dv) FROM ann)::BIGINT AS sum_dv2
+        """,
         # - inverted_index: tokenize, one row per (doc, distinct term)
         #   with 0-based positions via an indexed list_transform, then
         #   distinct-doc frequency pruning — same [min_df, max_df]

@@ -276,6 +276,82 @@ def pagerank_micros(
     return ranks
 
 
+def digraph_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """One-row integer summary of a directed simple graph (self-loops
+    and duplicate edges dropped): the crawl-graph health dashboard.
+
+    Columns: n_nodes, n_edges, n_reciprocal (directed edges whose
+    reverse also exists — link-exchange/mirror detection; reciprocity
+    ratio = n_reciprocal / n_edges downstream), max_out_degree,
+    max_in_degree, sum_out_sq (second moment of the out-degree
+    distribution — the hub-heaviness signal that predicts join skew),
+    and the degree-assortativity sufficient statistics over edges
+    (sum_du, sum_dv, sum_dudv, sum_du2, sum_dv2 with du =
+    out_degree(src), dv = in_degree(dst)) — Pearson's r is one float
+    formula the caller applies; the statistics themselves stay bigint
+    under the hash contract.
+
+    Scale shape: two degree aggregations, one left-semi self-join on
+    the reversed pair for reciprocity (equi-keyed both columns), two
+    broadcast-able degree attachments, then a single global aggregate —
+    every sum map-side combinable. Products du*dv are bounded by
+    max_deg² ≤ 1e12-ish on real crawls; sums of ≤ 1e12 terms need the
+    caller to shard only past ~1e6 max-degree hubs (document, not
+    guard: bigint overflow needs sum > 9.2e18)."""
+    e = (
+        edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        .filter(F.col("_s") != F.col("_d"))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("_s").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("od")
+    )
+    indeg = e.groupBy(F.col("_d").alias("n")).agg(
+        F.count(F.lit(1)).cast("long").alias("idg")
+    )
+    rev = e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    n_recip = e.join(rev, ["_s", "_d"], "left_semi").count()
+    nodes = (
+        e.select(F.col("_s").alias("n"))
+        .unionByName(e.select(F.col("_d").alias("n")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    annotated = (
+        e.join(outdeg, e["_s"] == outdeg["n"])
+        .drop("n")
+        .join(indeg, e["_d"] == indeg["n"])
+        .drop("n")
+    )
+    row = annotated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.max("od").cast("long").alias("max_out_degree"),
+        F.max("idg").cast("long").alias("max_in_degree"),
+        F.sum("od").cast("long").alias("sum_du"),
+        F.sum("idg").cast("long").alias("sum_dv"),
+        F.sum(F.col("od") * F.col("idg")).cast("long").alias("sum_dudv"),
+        F.sum(F.col("od") * F.col("od")).cast("long").alias("sum_du2"),
+        F.sum(F.col("idg") * F.col("idg")).cast("long").alias("sum_dv2"),
+    )
+    sum_out_sq = outdeg.agg(
+        F.sum(F.col("od") * F.col("od")).cast("long").alias("sum_out_sq")
+    )
+    return (
+        row.crossJoin(F.broadcast(sum_out_sq))
+        .withColumn("n_nodes", F.lit(n_nodes).cast("long"))
+        .withColumn("n_reciprocal", F.lit(n_recip).cast("long"))
+        .select(
+            "n_nodes", "n_edges", "n_reciprocal",
+            "max_out_degree", "max_in_degree", "sum_out_sq",
+            "sum_du", "sum_dv", "sum_dudv", "sum_du2", "sum_dv2",
+        )
+    )
+
+
 def bipartite_project(
     df: DataFrame,
     left_col: str,

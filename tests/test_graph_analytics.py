@@ -482,3 +482,34 @@ def test_weighted_pagerank_matches_integer_recurrence(spark):
         for r in pagerank_micros(df, iterations=3).collect()
     }
     assert got_w1 == got_un
+
+def test_digraph_stats_brute_force(spark):
+    """digraph_stats vs a python replay on a random digraph with
+    planted reciprocal pairs, self-loops, and duplicates."""
+    from collections import Counter
+
+    from openie_spark.graph_analytics import digraph_stats
+
+    rng = random.Random(67)
+    edges = _random_edges(rng, 15, 60) + [
+        (1, 2), (2, 1), (3, 3), (4, 5), (4, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    e = {(u, v) for u, v in edges if u != v}
+    od = Counter(u for u, _ in e)
+    idg = Counter(v for _, v in e)
+    nodes = {u for u, _ in e} | {v for _, v in e}
+    recip = sum(1 for (u, v) in e if (v, u) in e)
+    r = digraph_stats(df).collect()[0]
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_edges"] == len(e)
+    assert r["n_reciprocal"] == recip
+    assert r["max_out_degree"] == max(od.values())
+    assert r["max_in_degree"] == max(idg.values())
+    assert r["sum_out_sq"] == sum(d * d for d in od.values())
+    assert r["sum_du"] == sum(od[u] for u, _ in e)
+    assert r["sum_dv"] == sum(idg[v] for _, v in e)
+    assert r["sum_dudv"] == sum(od[u] * idg[v] for u, v in e)
+    assert r["sum_du2"] == sum(od[u] ** 2 for u, _ in e)
+    assert r["sum_dv2"] == sum(idg[v] ** 2 for _, v in e)
+    assert (1, 2) in e and (2, 1) in e and recip >= 2
