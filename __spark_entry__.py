@@ -1162,6 +1162,30 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_url_policy(spark, sf_dir):
+    """Crawl-policy filtering (weblinks.py url_filter_predicate) over
+    the multi-host link graph's destinations: https-only, example.com
+    blocked by host, one host's /rel/ section blocked by prefix —
+    surviving distinct urls with their inlink counts. The predicate is
+    a single pushable boolean column (plan-pinned StartsWith pushdown
+    in pytest); oracle mirrors the rules as LIKE/equality in DuckDB."""
+    from openie_spark.weblinks import link_graph, url_filter_predicate
+
+    links = link_graph(
+        _synth_pages(_read(spark, sf_dir, "documents"), multi_host=True)
+    )
+    pred = url_filter_predicate(
+        url_col="dst_url",
+        deny_hosts=("example.com",),
+        deny_prefixes=("https://h3.example.org/rel/",),
+    )
+    return (
+        links.filter(pred)
+        .groupBy(F.col("dst_url").alias("url"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
 def q_digraph_stats(spark, sf_dir):
     """One-row integer digraph summary (graph_analytics.py
     digraph_stats) of the q_pagerank supply graph — reciprocity (the
@@ -1522,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_authority": q_domain_authority,
         "inverted_index": q_inverted_index,
         "digraph_stats": q_digraph_stats,
+        "url_policy": q_url_policy,
     }
 
 
@@ -2517,6 +2542,22 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - url_policy: the same scheme/host/prefix rules as
+        #   equality + LIKE over the link-graph SQL.
+        "url_policy": f"""
+            WITH lg AS (
+              SELECT * FROM ({_link_graph_oracle(multi_host=True)})
+            )
+            SELECT dst_url AS url, count(*)::BIGINT AS n_links
+            FROM lg
+            WHERE lower(regexp_extract(dst_url,
+                    '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)) IN ('http', 'https')
+              AND regexp_extract(dst_url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)
+                  <> 'example.com'
+              AND dst_url NOT LIKE 'https://h3.example.org/rel/%'
+            GROUP BY 1
+        """,
         # - digraph_stats: the same edge dedup, degree aggregations,
         #   reversed-pair semi-join, and integer moments in DuckDB.
         "digraph_stats": """

@@ -231,6 +231,39 @@ def host_rollup(
     )
 
 
+def url_filter_predicate(
+    url_col: str = "url",
+    allow_schemes: tuple = ("http", "https"),
+    deny_hosts: tuple = (),
+    deny_prefixes: tuple = (),
+    allow_prefixes: tuple = (),
+) -> F.Column:
+    """Robots/crawl-policy style URL predicate as ONE boolean column
+    expression: scheme whitelist, host blocklist, deny-prefix rules,
+    and (when given) an allow-prefix whitelist. Deny beats allow, the
+    robots.txt convention for equal-specificity conflicts here
+    simplified to deny-first (document, don't guess).
+
+    It is deliberately a PREDICATE, not a DataFrame op: applied
+    directly after ``spark.read``, the startswith/equality parts push
+    into the parquet/Iceberg scan (Catalyst emits StartsWith/In
+    PushedFilters), so a 100 TB crawl prunes at the source instead of
+    scanning and discarding — the plan-pinned reason this exists."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    keep = F.lower(scheme).isin(*[s.lower() for s in allow_schemes])
+    if deny_hosts:
+        keep = keep & ~host_of(u).isin(*list(deny_hosts))
+    for p in deny_prefixes:
+        keep = keep & ~u.startswith(p)
+    if allow_prefixes:
+        any_allow = F.lit(False)
+        for p in allow_prefixes:
+            any_allow = any_allow | u.startswith(p)
+        keep = keep & any_allow
+    return keep
+
+
 def crawl_frontier(
     links: DataFrame,
     seen: DataFrame,

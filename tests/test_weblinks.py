@@ -247,3 +247,35 @@ def test_crawl_frontier_cap_priority_and_seen(spark):
     }
     with _pytest.raises(ValueError):
         crawl_frontier(links, seen, per_host_cap=0)
+
+def test_url_filter_predicate_rules_and_pushdown(spark, tmp_path):
+    """url_filter_predicate: scheme whitelist, host blocklist, deny
+    beats allow; and the startswith parts PUSH into a parquet scan
+    (PushedFilters shows StartsWith) — the at-scale point."""
+    from openie_spark.weblinks import url_filter_predicate
+
+    rows = [
+        ("https://ok.com/a/1",),
+        ("http://ok.com/a/2",),
+        ("ftp://ok.com/a/3",),                  # scheme denied
+        ("https://bad.com/a/4",),               # host denied
+        ("https://ok.com/private/5",),          # prefix denied
+        ("https://ok.com/b/6",),                # not in allow prefixes
+    ]
+    df = spark.createDataFrame(rows, "url string")
+    pred = url_filter_predicate(
+        deny_hosts=("bad.com",),
+        deny_prefixes=("https://ok.com/private/",),
+        allow_prefixes=("https://ok.com/a/", "http://ok.com/a/"),
+    )
+    got = {r["url"] for r in df.filter(pred).collect()}
+    assert got == {"https://ok.com/a/1", "http://ok.com/a/2"}
+
+    # pushdown: allow-prefix startswith reaches the parquet scan
+    p = str(tmp_path / "urls")
+    df.write.parquet(p)
+    scan = spark.read.parquet(p).filter(
+        url_filter_predicate(allow_prefixes=("https://ok.com/",))
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith" in plan, plan[:2000]
