@@ -762,3 +762,100 @@ def read_frequency(spark: SparkSession, state_dir: str):
     if cur is None:
         return None
     return spark.read.parquet(f"{state_dir}/v{cur:08d}/registers")
+
+
+_FIRSTSEEN_STATE_TABLES = ("first_seen",)
+
+
+def make_firstseen_refresh(
+    state_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """foreachBatch callable maintaining the (key, first_day) table —
+    the state behind the cumulative-distinct growth curve
+    (dataops/retention.py): each micro-batch's per-key min(day) is
+    MIN-merged with the previous snapshot into an immutable
+    ``v{epoch}/first_seen`` version. Min is associative, commutative,
+    and idempotent (like the HLL max, unlike the count-min sum), and
+    the lookup is bounded strictly below the epoch — replay-safe twice
+    over. State is one row per distinct key ever seen: that is the
+    true information content of a first-seen curve, not sketch
+    overhead; at 100 TB shard the state table by key hash and the
+    min-merge stays co-partitioned."""
+
+    def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = (
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                F.to_date(F.col(ts_col)).alias("first_day"),
+            )
+            .groupBy("key")
+            .agg(F.min("first_day").alias("first_day"))
+        )
+        cur = _latest_state_version(
+            spark,
+            state_dir,
+            max_version=int(epoch_id) - 1,
+            tables=_FIRSTSEEN_STATE_TABLES,
+        )
+        if cur is not None:
+            old = spark.read.parquet(f"{state_dir}/v{cur:08d}/first_seen")
+            new = (
+                old.unionByName(delta)
+                .groupBy("key")
+                .agg(F.min("first_day").alias("first_day"))
+            )
+        else:
+            new = delta
+        new.write.mode("overwrite").parquet(
+            f"{state_dir}/v{int(epoch_id):08d}/first_seen"
+        )
+
+    return refresh
+
+
+def start_firstseen_refresh(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    trigger_seconds: Optional[int] = None,
+):
+    """Wire :func:`make_firstseen_refresh` as a foreachBatch sink."""
+    refresh = make_firstseen_refresh(state_dir, key_col, ts_col)
+    writer = (
+        stream_df.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_growth_curve(spark: SparkSession, state_dir: str):
+    """(day, new_keys, cum_keys) from the latest COMPLETE first-seen
+    snapshot (None before the first version): new = first appearances
+    per day, cum = running sum — because min-merge makes the snapshot
+    identical to batch min(day) over the concatenated input, this
+    equals the batch activity curve's new/cum columns over all data
+    seen so far."""
+    from pyspark.sql.window import Window
+
+    cur = _latest_state_version(
+        spark, state_dir, tables=_FIRSTSEEN_STATE_TABLES
+    )
+    if cur is None:
+        return None
+    fs = spark.read.parquet(f"{state_dir}/v{cur:08d}/first_seen")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        fs.groupBy(F.col("first_day").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("new_keys"))
+        .withColumn("cum_keys", F.sum("new_keys").over(w).cast("long"))
+    )

@@ -660,3 +660,80 @@ def test_streaming_frequency_equals_batch_and_retry_safe(spark, tmp_path):
         for r in spark.read.parquet(f"{state2}/v00000001/registers").collect()
     }
     assert once == twice
+
+
+def test_streaming_firstseen_growth_curve_equals_batch(spark, tmp_path):
+    """Streaming first-seen refresh: the min-merged snapshot yields a
+    growth curve identical to batch activity_curve's new/cum columns
+    over the concatenated input — including a key whose EARLIER first
+    day arrives in a LATER batch (min-merge rewinds it); replayed
+    epoch is a no-op (idempotent min + version bound)."""
+    import datetime
+
+    from openie_spark.dataops.retention import activity_curve
+    from openie_spark.streaming import (
+        make_firstseen_refresh,
+        read_growth_curve,
+        start_firstseen_refresh,
+    )
+
+    d = datetime.datetime
+    batches = [
+        [(1, d(2024, 3, 5)), (2, d(2024, 3, 5)), (3, d(2024, 3, 6))],
+        [(1, d(2024, 3, 7)), (4, d(2024, 3, 7)),
+         (2, d(2024, 3, 1))],   # user 2's TRUE first day arrives late
+        [(5, d(2024, 3, 8)), (3, d(2024, 3, 2))],
+    ]
+    src = tmp_path / "drops"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.parquet(str(src / f"part{i}"))
+
+    assert read_growth_curve(spark, str(tmp_path / "state")) is None
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = start_firstseen_refresh(
+        stream, str(tmp_path / "state"), str(tmp_path / "ck")
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["day"]: (r["new_keys"], r["cum_keys"])
+        for r in read_growth_curve(spark, str(tmp_path / "state")).collect()
+    }
+    all_rows = [r for rows in batches for r in rows]
+    all_df = spark.createDataFrame(all_rows, "user_id long, ts timestamp")
+    # batch activity_curve has rows for ACTIVE days; the growth curve
+    # only has first-appearance days — compare on those
+    want = {
+        r["day"]: (r["new_keys"], r["cum_keys"])
+        for r in activity_curve(all_df).select(
+            "day", "new_keys", "cum_keys"
+        ).collect()
+        if r["new_keys"] > 0
+    }
+    assert got == want
+    assert got[datetime.date(2024, 3, 1)][0] == 1  # user 2 rewound
+
+    # verbatim epoch replay is a no-op
+    state2 = tmp_path / "state2"
+    refresh = make_firstseen_refresh(str(state2))
+    d0 = spark.createDataFrame(batches[0], "user_id long, ts timestamp")
+    d1 = spark.createDataFrame(batches[1], "user_id long, ts timestamp")
+    refresh(d0, 0)
+    refresh(d1, 1)
+    once = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state2}/v00000001/first_seen").collect()
+    }
+    refresh(d1, 1)
+    twice = {
+        tuple(r)
+        for r in spark.read.parquet(f"{state2}/v00000001/first_seen").collect()
+    }
+    assert once == twice
