@@ -1162,6 +1162,32 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_k_core(spark, sf_dir):
+    """5-core of the strong co-supply graph (graph_analytics.py
+    k_core): iterative peel to fixpoint (4 rounds at this sf). Oracle
+    unrolls EIGHT peel rounds as a materialized CTE chain — extra
+    rounds past the fixpoint are no-ops, so the unroll equals the
+    fixpoint whenever the data converges within the margin (it does:
+    4 < 8; a non-convergent unroll would hash-mismatch, not silently
+    pass)."""
+    from openie_spark.graph_analytics import k_core
+
+    li = _read(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    pairs = (
+        sp.alias("a")
+        .join(sp.alias("b"), "p")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("src"), F.col("b.s").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 150)
+        .select("src", "dst")
+    )
+    return k_core(pairs, k=5)
+
+
 def q_url_policy(spark, sf_dir):
     """Crawl-policy filtering (weblinks.py url_filter_predicate) over
     the multi-host link graph's destinations: https-only, example.com
@@ -1547,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "digraph_stats": q_digraph_stats,
         "url_policy": q_url_policy,
+        "k_core": q_k_core,
     }
 
 
@@ -1726,6 +1753,50 @@ def _hits_oracle(iterations: int = 4) -> str:
         f"""
         SELECT a.node, a.s AS auth_micros, h.s AS hub_micros
         FROM a{iterations} a JOIN h{iterations} h ON a.node = h.node"""
+    )
+    return "".join(parts)
+
+
+def _k_core_oracle(k: int = 5, rounds: int = 8) -> str:
+    """The k_core peel unrolled as a materialized CTE chain over the
+    same co-supply pair graph: per round, degree count over the
+    symmetrized edge set, then keep only edges whose BOTH endpoints
+    have degree >= k. Rounds past the fixpoint are no-ops."""
+    parts = [
+        """
+        WITH sp AS MATERIALIZED (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ),
+        pairs AS MATERIALIZED (
+          SELECT a.s AS u, b.s AS v
+          FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+          GROUP BY 1, 2 HAVING count(*) >= 150
+        ),
+        e0 AS MATERIALIZED (
+          SELECT u AS a, v AS b FROM pairs
+          UNION SELECT v, u FROM pairs
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+        d{i} AS MATERIALIZED (
+          SELECT a AS node, count(*)::BIGINT AS degree
+          FROM e{i} GROUP BY 1
+        ),
+        keep{i} AS MATERIALIZED (
+          SELECT node FROM d{i} WHERE degree >= {k}
+        ),
+        e{i + 1} AS MATERIALIZED (
+          SELECT e.a, e.b FROM e{i} e
+          JOIN keep{i} ka ON e.a = ka.node
+          JOIN keep{i} kb ON e.b = kb.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT a AS node, count(*)::BIGINT AS degree
+        FROM e{rounds} GROUP BY 1"""
     )
     return "".join(parts)
 
@@ -2542,6 +2613,9 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - k_core: the peel unrolled 8 rounds (fixpoint at 4 here;
+        #   extra rounds are no-ops) over the co-supply pair graph.
+        "k_core": _k_core_oracle(k=5, rounds=8),
         # - url_policy: the same scheme/host/prefix rules as
         #   equality + LIKE over the link-graph SQL.
         "url_policy": f"""

@@ -276,6 +276,49 @@ def pagerank_micros(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: (node, degree) for
+    every node of the maximal subgraph where all degrees are >= k —
+    the standard dense-region extractor (spam-farm and boilerplate
+    rings in a web graph are high-core; the periphery peels away).
+
+    Iterative peel: drop every node with degree < k, recompute degrees
+    over the induced subgraph, repeat to fixpoint. Each round is one
+    map-side-combinable degree count + two semi-joins of the edge set
+    against the surviving nodes; the edge set is
+    localCheckpoint-materialized per round (bounded lineage, the
+    fixpoint idiom shared with merge/topk). Rounds are data-dependent
+    but small in practice (each round removes the entire current
+    periphery, not one node); ``max_rounds`` is a safety bound that
+    raises rather than returning a non-fixpoint. Integer output under
+    the hash contract."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = _sym_edges(edges, src, dst, directed=False).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_rounds):
+        deg = e.groupBy(F.col("_s").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree")
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        n_bad = deg.count() - keep.count()
+        if n_bad == 0:
+            return deg
+        e = (
+            e.join(keep.withColumnRenamed("node", "_s"), "_s", "left_semi")
+            .join(keep.withColumnRenamed("node", "_d"), "_d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")
+
+
 def digraph_stats(
     edges: DataFrame,
     src: str = "src",

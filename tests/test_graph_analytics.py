@@ -513,3 +513,37 @@ def test_digraph_stats_brute_force(spark):
     assert r["sum_du2"] == sum(od[u] ** 2 for u, _ in e)
     assert r["sum_dv2"] == sum(idg[v] ** 2 for _, v in e)
     assert (1, 2) in e and (2, 1) in e and recip >= 2
+
+def test_k_core_brute_force(spark):
+    """k_core vs a python peel on random graphs: the fixpoint is the
+    maximal subgraph with min degree >= k; empty cores come back
+    empty; k=1 drops only isolated self-loop nodes."""
+    def peel(edges, k):
+        und = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+        while True:
+            deg = defaultdict(int)
+            for u, v in und:
+                deg[u] += 1
+                deg[v] += 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return dict(deg)
+            und = {
+                (u, v) for u, v in und if u not in bad and v not in bad
+            }
+
+    from openie_spark.graph_analytics import k_core
+
+    rng = random.Random(71)
+    for trial, (n, m, k) in enumerate([(20, 60, 3), (30, 50, 2), (10, 8, 4)]):
+        edges = _random_edges(rng, n, m)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["degree"] for r in k_core(df, k).collect()
+        }
+        assert got == peel(edges, k), trial
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert k_core(df, 5).count() == 0
+    with pytest.raises(ValueError):
+        k_core(df, 0)
