@@ -1162,6 +1162,25 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_host_similarity(spark, sf_dir):
+    """Host-by-outlink set similarity (dataops/setsim.py
+    set_jaccard_join) over the multi-host link graph: which hosts link
+    to the same places — the mirror/affiliate detector. Exact integer
+    jaccard micros; oracle recomputes sets relationally in DuckDB."""
+    from openie_spark.dataops.setsim import set_jaccard_join
+    from openie_spark.weblinks import host_of, link_graph
+
+    links = link_graph(
+        _synth_pages(_read(spark, sf_dir, "documents"), multi_host=True)
+    )
+    rel = links.select(
+        host_of(F.col("src_url")).alias("host"), F.col("dst_url")
+    )
+    return set_jaccard_join(
+        rel, "host", "dst_url", threshold_micros=10_000
+    )
+
+
 def q_k_core(spark, sf_dir):
     """5-core of the strong co-supply graph (graph_analytics.py
     k_core): iterative peel to fixpoint (4 rounds at this sf). Oracle
@@ -1574,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "digraph_stats": q_digraph_stats,
         "url_policy": q_url_policy,
         "k_core": q_k_core,
+        "host_similarity": q_host_similarity,
     }
 
 
@@ -2613,6 +2633,40 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - host_similarity: distinct (host, dst) relation, value-key
+        #   self-join for intersections, exact sizes, integer jaccard.
+        "host_similarity": f"""
+            WITH lg AS MATERIALIZED (
+              SELECT * FROM ({_link_graph_oracle(multi_host=True)})
+            ),
+            rel AS MATERIALIZED (
+              SELECT DISTINCT
+                     regexp_extract(src_url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1) AS k,
+                     dst_url AS v
+              FROM lg
+            ),
+            sizes AS (SELECT k, count(*)::BIGINT AS size
+                      FROM rel GROUP BY 1),
+            ok AS (SELECT v FROM rel GROUP BY v
+                   HAVING count(*) <= 1000),
+            capped AS (SELECT rel.k, rel.v FROM rel JOIN ok USING (v)),
+            co AS (
+              SELECT a.k AS key_a, b.k AS key_b, count(*)::BIGINT AS co
+              FROM capped a JOIN capped b ON a.v = b.v AND a.k < b.k
+              GROUP BY 1, 2
+            )
+            SELECT co.key_a, co.key_b, co.co,
+                   sa.size AS size_a, sb.size AS size_b,
+                   ((1000000 * co.co)
+                    // (sa.size + sb.size - co.co))::BIGINT
+                     AS jaccard_micros
+            FROM co
+            JOIN sizes sa ON sa.k = co.key_a
+            JOIN sizes sb ON sb.k = co.key_b
+            WHERE (1000000 * co.co) // (sa.size + sb.size - co.co)
+                  >= 10000
+        """,
         # - k_core: the peel unrolled 8 rounds (fixpoint at 4 here;
         #   extra rounds are no-ops) over the co-supply pair graph.
         "k_core": _k_core_oracle(k=5, rounds=8),

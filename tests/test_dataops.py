@@ -2565,3 +2565,54 @@ def test_inverted_index_brute_force(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         inverted_index(df, max_df_frac=0.0)
+
+
+# ---------------------------------------------------------------- setsim
+def test_set_jaccard_join_brute_force_and_cap(spark):
+    """set_jaccard_join vs python sets: exact jaccard micros on the
+    uncapped path; with a df cap, intersections shrink (floor
+    property) while sizes stay exact."""
+    from openie_spark.dataops.setsim import set_jaccard_join
+
+    rows = [
+        ("u1", "a"), ("u1", "b"), ("u1", "c"), ("u1", "hub"),
+        ("u2", "a"), ("u2", "b"), ("u2", "hub"),
+        ("u3", "c"), ("u3", "d"), ("u3", "hub"),
+        ("u4", "hub"),
+        ("u1", "a"),  # dup collapses
+    ]
+    df = spark.createDataFrame(rows, "k string, v string")
+    sets = {}
+    for k, v in rows:
+        sets.setdefault(k, set()).add(v)
+
+    got = {
+        (r["key_a"], r["key_b"]): (
+            r["co"], r["size_a"], r["size_b"], r["jaccard_micros"]
+        )
+        for r in set_jaccard_join(df, "k", "v", threshold_micros=1).collect()
+    }
+    expect = {}
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            co = len(sets[a] & sets[b])
+            if co == 0:
+                continue
+            uni = len(sets[a] | sets[b])
+            expect[(a, b)] = (
+                co, len(sets[a]), len(sets[b]), 1_000_000 * co // uni
+            )
+    assert got == expect
+
+    # cap 3 drops 'hub' (df=4): u4 pairs vanish; u1-u2 co drops to 2
+    # but sizes keep the hub value
+    got_cap = {
+        (r["key_a"], r["key_b"]): (r["co"], r["size_a"], r["size_b"])
+        for r in set_jaccard_join(
+            df, "k", "v", threshold_micros=1, max_value_df=3
+        ).collect()
+    }
+    assert ("u1", "u4") not in got_cap and ("u2", "u4") not in got_cap
+    assert got_cap[("u1", "u2")] == (2, 4, 3)
