@@ -1162,6 +1162,30 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_events_pivot(spark, sf_dir):
+    """Pivot: per-user event-type count matrix via Spark's
+    groupBy().pivot() with an EXPLICIT value list — the wide
+    feature-table operator (one pass, map-side partial agg per cell;
+    an implicit pivot would add a distinct-values job and make the
+    schema data-dependent, which the fixed list avoids by design).
+    Oracle: conditional aggregation in DuckDB (the engine-portable
+    spelling of the same thing)."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
 def q_host_similarity(spark, sf_dir):
     """Host-by-outlink set similarity (dataops/setsim.py
     set_jaccard_join) over the multi-host link graph: which hosts link
@@ -1594,6 +1618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_policy": q_url_policy,
         "k_core": q_k_core,
         "host_similarity": q_host_similarity,
+        "events_pivot": q_events_pivot,
     }
 
 
@@ -2633,6 +2658,22 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - events_pivot: conditional aggregation — the portable
+        #   spelling of PIVOT with a fixed value list.
+        "events_pivot": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1
+                       ELSE 0 END)::BIGINT AS n_click,
+                   sum(CASE WHEN event_type = 'error' THEN 1
+                       ELSE 0 END)::BIGINT AS n_error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1
+                       ELSE 0 END)::BIGINT AS n_purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1
+                       ELSE 0 END)::BIGINT AS n_signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1
+                       ELSE 0 END)::BIGINT AS n_view
+            FROM events GROUP BY user_id
+        """,
         # - host_similarity: distinct (host, dst) relation, value-key
         #   self-join for intersections, exact sizes, integer jaccard.
         "host_similarity": f"""
