@@ -1186,6 +1186,31 @@ def q_events_pivot(spark, sf_dir):
     )
 
 
+def q_events_unpivot(spark, sf_dir):
+    """Unpivot/melt — the inverse wide-to-long operator (Spark
+    DataFrame.unpivot, the 3.4+ native melt): the q_events_pivot
+    matrix melted back to (user_id, event_type, n), zero cells
+    dropped. The oracle is simply the original long-form groupBy count
+    in DuckDB — pinning the pivot/unpivot ROUNDTRIP, not a replay of
+    either side."""
+    wide = q_events_pivot(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    long = wide.unpivot(
+        ["user_id"],
+        [f"n_{t}" for t in types],
+        "event_type",
+        "n",
+    )
+    return (
+        long.filter(F.col("n") > 0)
+        .select(
+            "user_id",
+            F.expr("substring(event_type, 3)").alias("event_type"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
 def q_host_similarity(spark, sf_dir):
     """Host-by-outlink set similarity (dataops/setsim.py
     set_jaccard_join) over the multi-host link graph: which hosts link
@@ -1619,6 +1644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_k_core,
         "host_similarity": q_host_similarity,
         "events_pivot": q_events_pivot,
+        "events_unpivot": q_events_unpivot,
     }
 
 
@@ -2658,6 +2684,12 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - events_unpivot: the original long-form counts — melting
+        #   the pivot must reproduce them exactly (roundtrip pin).
+        "events_unpivot": """
+            SELECT user_id, event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        """,
         # - events_pivot: conditional aggregation — the portable
         #   spelling of PIVOT with a fixed value list.
         "events_pivot": """
