@@ -1162,6 +1162,41 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """Multimodal plumbing under the FULL oracle: real PNG
+    signature+IHDR bytes are synthesized JVM-side (unhex of a hex
+    concat planting width = 16 + doc_id % 32, height = 8 + doc_id %
+    16), decode_media's Arrow mapInPandas stage parses them BACK with
+    the stdlib headers decoder, and every 10th doc is a truncated
+    payload that must isolate into a deterministic decode_error. The
+    oracle states the planted ground truth directly — Spark only
+    matches if the binary round-trip (construct -> Arrow batch ->
+    struct.unpack) is exact."""
+    from openie_spark.dataops.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = 16 + F.col("doc_id") % 32
+    h = 8 + F.col("doc_id") % 16
+    good = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"),
+        F.lpad(F.hex(w), 8, "0"),
+        F.lpad(F.hex(h), 8, "0"),
+        F.lit("0802000000DEADBEEF"),
+    )
+    bad = F.lit("89504E470D0A1A0A")  # signature only -> missing IHDR
+    media = F.unhex(
+        F.when(F.col("doc_id") % 10 == 0, bad).otherwise(good)
+    )
+    mdf = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/png").alias("mime"),
+        media.alias("media"),
+    )
+    return decode_media(mdf, decoder="headers").select(
+        "media_id", "mime", "width", "height", "n_frames", "decode_error"
+    )
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type count matrix via Spark's
     groupBy().pivot() with an EXPLICIT value list — the wide
@@ -1645,6 +1680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_similarity": q_host_similarity,
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
+        "media_decode": q_media_decode,
     }
 
 
@@ -2684,6 +2720,22 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_link_graph_oracle(multi_host=True)}) lg
             """,
         ),
+        # - media_decode: the planted ground truth — Spark matches
+        #   only if construct -> Arrow -> struct.unpack round-trips.
+        "media_decode": """
+            SELECT doc_id AS media_id,
+                   'image/png' AS mime,
+                   CASE WHEN doc_id % 10 = 0 THEN NULL
+                        ELSE (16 + doc_id % 32) END::INT AS width,
+                   CASE WHEN doc_id % 10 = 0 THEN NULL
+                        ELSE (8 + doc_id % 16) END::INT AS height,
+                   CASE WHEN doc_id % 10 = 0 THEN NULL
+                        ELSE 1 END::INT AS n_frames,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'ValueError: PNG missing IHDR'
+                   END AS decode_error
+            FROM documents
+        """,
         # - events_unpivot: the original long-form counts — melting
         #   the pivot must reproduce them exactly (roundtrip pin).
         "events_unpivot": """
