@@ -1197,6 +1197,46 @@ def q_media_decode(spark, sf_dir):
     )
 
 
+def q_media_wav(spark, sf_dir):
+    """The audio lane of the multimodal layer under the full oracle:
+    RIFF/WAVE headers synthesized JVM-side with a little-endian
+    byte-swap of the planted data size (n_frames = 100 + doc_id % 50,
+    block_align 4), parsed back by the stdlib chunk walk; every 7th
+    doc omits the data chunk and must isolate into the deterministic
+    decode_error. Oracle states the planted ground truth."""
+    from openie_spark.dataops.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    nf = 100 + F.col("doc_id") % 50
+    hx = F.lpad(F.hex(nf * 4), 8, "0")
+    # little-endian byte swap of the 32-bit data-chunk size
+    sz_le = F.concat(
+        F.substring(hx, 7, 2), F.substring(hx, 5, 2),
+        F.substring(hx, 3, 2), F.substring(hx, 1, 2),
+    )
+    fmt_chunk = (
+        "666D7420" "10000000"      # 'fmt ' + size 16
+        "0100" "0200" "44AC0000"   # pcm, stereo, 44100 Hz
+        "10B10200" "0400" "1000"   # byte rate, block_align 4, 16 bit
+    )
+    good = F.concat(
+        F.lit("52494646" "00000000" "57415645" + fmt_chunk + "64617461"),
+        sz_le,
+    )
+    bad = F.lit("52494646" "00000000" "57415645" + fmt_chunk)
+    media = F.unhex(
+        F.when(F.col("doc_id") % 7 == 0, bad).otherwise(good)
+    )
+    mdf = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio/wav").alias("mime"),
+        media.alias("media"),
+    )
+    return decode_media(mdf, decoder="headers").select(
+        "media_id", "mime", "width", "height", "n_frames", "decode_error"
+    )
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type count matrix via Spark's
     groupBy().pivot() with an EXPLICIT value list — the wide
@@ -1681,6 +1721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": q_events_pivot,
         "events_unpivot": q_events_unpivot,
         "media_decode": q_media_decode,
+        "media_wav": q_media_wav,
     }
 
 
@@ -2733,6 +2774,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 1 END::INT AS n_frames,
                    CASE WHEN doc_id % 10 = 0
                         THEN 'ValueError: PNG missing IHDR'
+                   END AS decode_error
+            FROM documents
+        """,
+        # - media_wav: planted WAV ground truth (frames from the
+        #   little-endian data size; chunk-walk parse must agree).
+        "media_wav": """
+            SELECT doc_id AS media_id,
+                   'audio/wav' AS mime,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 0 END::INT AS width,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE 0 END::INT AS height,
+                   CASE WHEN doc_id % 7 = 0 THEN NULL
+                        ELSE (100 + doc_id % 50) END::INT AS n_frames,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'ValueError: WAV missing fmt/data chunk'
                    END AS decode_error
             FROM documents
         """,
