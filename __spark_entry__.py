@@ -1237,6 +1237,43 @@ def q_media_wav(spark, sf_dir):
     )
 
 
+def q_media_gif_jpeg(spark, sf_dir):
+    """The remaining two container branches under the full oracle:
+    even docs carry a GIF89a logical screen descriptor (16-bit
+    LITTLE-endian dims, byte-swapped at construction), odd docs a
+    minimal JPEG SOI + SOF0 frame header (16-bit BIG-endian dims) —
+    the decoder's marker walk and both endianness paths must agree
+    with the planted ground truth. With media_decode (PNG) and
+    media_wav, all four stdlib container parsers are oracle-pinned."""
+    from openie_spark.dataops.multimodal import decode_media
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    w = 20 + F.col("doc_id") % 40
+    h = 10 + F.col("doc_id") % 20
+    wx = F.lpad(F.hex(w), 4, "0")
+    hx = F.lpad(F.hex(h), 4, "0")
+    gif = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        F.substring(wx, 3, 2), F.substring(wx, 1, 2),  # width LE
+        F.substring(hx, 3, 2), F.substring(hx, 1, 2),  # height LE
+    )
+    jpeg = F.concat(
+        F.lit("FFD8FFC0" "0011" "08"),  # SOI, SOF0, len 17, 8-bit
+        hx, wx,                         # height, width BIG-endian
+    )
+    is_gif = F.col("doc_id") % 2 == 0
+    mdf = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(is_gif, F.lit("image/gif"))
+        .otherwise(F.lit("image/jpeg"))
+        .alias("mime"),
+        F.unhex(F.when(is_gif, gif).otherwise(jpeg)).alias("media"),
+    )
+    return decode_media(mdf, decoder="headers").select(
+        "media_id", "mime", "width", "height", "n_frames", "decode_error"
+    )
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot: per-user event-type count matrix via Spark's
     groupBy().pivot() with an EXPLICIT value list — the wide
@@ -1722,6 +1759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_unpivot": q_events_unpivot,
         "media_decode": q_media_decode,
         "media_wav": q_media_wav,
+        "media_gif_jpeg": q_media_gif_jpeg,
     }
 
 
@@ -2775,6 +2813,18 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 10 = 0
                         THEN 'ValueError: PNG missing IHDR'
                    END AS decode_error
+            FROM documents
+        """,
+        # - media_gif_jpeg: planted dims; both endianness paths of
+        #   the header parsers must round-trip.
+        "media_gif_jpeg": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/gif'
+                        ELSE 'image/jpeg' END AS mime,
+                   (20 + doc_id % 40)::INT AS width,
+                   (10 + doc_id % 20)::INT AS height,
+                   1::INT AS n_frames,
+                   NULL AS decode_error
             FROM documents
         """,
         # - media_wav: planted WAV ground truth (frames from the
