@@ -1162,6 +1162,19 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus trigram table (decontam.py ngram_counts): (ngram, tf,
+    df) with tf counting EVERY occurrence and df distinct docs,
+    min_df=3 pruning the unique tail. Oracle replays the let-bound
+    gram construction and the combined count/count-distinct in
+    DuckDB."""
+    from openie_spark.dataops.decontam import ngram_counts
+
+    return ngram_counts(
+        _read(spark, sf_dir, "documents"), n=3, min_df=3
+    )
+
+
 def q_media_decode(spark, sf_dir):
     """Multimodal plumbing under the FULL oracle: real PNG
     signature+IHDR bytes are synthesized JVM-side (unhex of a hex
@@ -1760,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": q_media_decode,
         "media_wav": q_media_wav,
         "media_gif_jpeg": q_media_gif_jpeg,
+        "ngram_counts": q_ngram_counts,
     }
 
 
@@ -2814,6 +2828,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ValueError: PNG missing IHDR'
                    END AS decode_error
             FROM documents
+        """,
+        # - ngram_counts: non-distinct trigram explode, one grouped
+        #   count + count-distinct, min_df prune — same tokenization.
+        "ngram_counts": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter({toks}, x -> x <> '') AS tk
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(tk) >= 3
+                       THEN list_transform(
+                         generate_series(1, len(tk) - 2),
+                         i -> array_to_string(tk[i : i + 2], ' ')
+                       )
+                       ELSE [] END) AS ngram
+              FROM base
+            )
+            SELECT ngram, count(*)::BIGINT AS tf,
+                   count(DISTINCT doc_id)::BIGINT AS df
+            FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
         """,
         # - media_gif_jpeg: planted dims; both endianness paths of
         #   the header parsers must round-trip.

@@ -143,3 +143,50 @@ def ngram_decontaminate(
             .select(id_col)
         )
     return train.join(contaminated, id_col, "left_anti")
+
+
+def ngram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """The corpus n-gram table: (ngram, tf, df) — total occurrences and
+    document frequency of every token n-gram appearing in at least
+    ``min_df`` documents. The Google-Books-ngrams-style artifact a
+    corpus pipeline materializes for language-model heuristics,
+    collocation mining, and boilerplate diagnosis.
+
+    Unlike :func:`doc_ngrams` (distinct per doc — membership
+    semantics), tf needs EVERY occurrence, so the gram list here is
+    NOT deduplicated; df still counts distinct documents. One narrow
+    let-bound gram construction (the same CollapseProject-safe idiom),
+    one explode, ONE groupBy(ngram) computing tf and df together
+    (count + two-phase distinct in the same aggregation). The unique
+    tail shuffles once as pre-combined single rows and then dies at the
+    ``min_df`` filter; the head — where the volume is — arrives
+    map-side collapsed. At 100 TB, shard by an n-gram hash prefix if a
+    single output table is not required."""
+    toks = F.array_remove(F.split(normalized_text(text_col), " "), "")
+    grams = F.transform(
+        F.array(toks),
+        lambda tk: F.when(
+            F.size(tk) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (n - 1)),
+                lambda i: F.array_join(F.slice(tk, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
+    exploded = df.select(
+        F.col(id_col).alias("_doc"), F.explode(grams).alias("ngram")
+    )
+    return (
+        exploded.groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.count_distinct("_doc").cast("long").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -2616,3 +2616,37 @@ def test_set_jaccard_join_brute_force_and_cap(spark):
     }
     assert ("u1", "u4") not in got_cap and ("u2", "u4") not in got_cap
     assert got_cap[("u1", "u2")] == (2, 4, 3)
+
+
+def test_ngram_counts_brute_force(spark):
+    """ngram_counts vs a python replay: tf counts EVERY occurrence
+    (repeats within a doc), df counts distinct docs, min_df prunes."""
+    from collections import defaultdict
+
+    from openie_spark.dataops.decontam import ngram_counts
+
+    rows = [
+        (1, "a b c a b c"),     # 'a b c' twice in one doc
+        (2, "a b c d"),
+        (3, "x y z"),
+        (4, "a b  c"),          # whitespace collapse
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tf = defaultdict(int)
+    docs = defaultdict(set)
+    for did, text in rows:
+        toks = [t for t in " ".join(text.split()).lower().split(" ") if t]
+        for i in range(len(toks) - 1):
+            g = " ".join(toks[i : i + 2])
+            tf[g] += 1
+            docs[g].add(did)
+    expect = {
+        g: (tf[g], len(docs[g])) for g in tf if len(docs[g]) >= 2
+    }
+    got = {
+        r["ngram"]: (r["tf"], r["df"])
+        for r in ngram_counts(df, n=2, min_df=2).collect()
+    }
+    assert got == expect
+    assert got["a b"] == (4, 3)
+    assert "x y" not in got
