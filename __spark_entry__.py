@@ -1162,6 +1162,27 @@ def q_pagerank_seeded(spark, sf_dir):
     )
 
 
+def q_assign_splits(spark, sf_dir):
+    """Deterministic k-way split assignment (sampling.py
+    assign_splits): every document labeled train/val/test by its md5
+    bucket against cumulative thresholds — the reproducible
+    randomSplit replacement. The driver row returns the per-(source,
+    split) counts AND the exact per-split min/max doc ids, so the
+    oracle pins the actual row assignment, not just proportions."""
+    from openie_spark.dataops.sampling import assign_splits
+
+    docs = _read(spark, sf_dir, "documents")
+    out = assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="r7"
+    )
+    return out.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus trigram table (decontam.py ngram_counts): (ngram, tf,
     df) with tf counting EVERY occurrence and df distinct docs,
@@ -1774,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_wav": q_media_wav,
         "media_gif_jpeg": q_media_gif_jpeg,
         "ngram_counts": q_ngram_counts,
+        "assign_splits": q_assign_splits,
     }
 
 
@@ -2828,6 +2850,25 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'ValueError: PNG missing IHDR'
                    END AS decode_error
             FROM documents
+        """,
+        # - assign_splits: the identical md5-bucket decision with
+        #   threshold literals from the operator's own _hex_threshold
+        #   (sorted-name order: test 0.1 | train 0.9 | val rest).
+        "assign_splits": f"""
+            WITH labeled AS (
+              SELECT source, doc_id,
+                     CASE WHEN substr(md5('r7' || doc_id::VARCHAR), 1, 8)
+                               < '{_sampling_thr(0.1)}' THEN 'test'
+                          WHEN substr(md5('r7' || doc_id::VARCHAR), 1, 8)
+                               < '{_sampling_thr(0.9)}' THEN 'train'
+                          ELSE 'val' END AS split
+              FROM documents
+            )
+            SELECT source, split, count(*)::BIGINT AS n_docs,
+                   min(doc_id)::BIGINT AS min_id,
+                   max(doc_id)::BIGINT AS max_id,
+                   sum(doc_id)::BIGINT AS sum_ids
+            FROM labeled GROUP BY 1, 2
         """,
         # - ngram_counts: non-distinct trigram explode, one grouped
         #   count + count-distinct, min_df prune — same tokenization.

@@ -211,3 +211,43 @@ def exact_k_sample(
             _topk(df.filter(F.col(stratum_col).isin(deficient)))
         )
     return sel
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: Dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test (any k-way) split assignment: adds
+    a ``split`` column keyed on the row's hash bucket against the
+    cumulative weight thresholds — the reproducible, engine-portable
+    replacement for ``randomSplit`` (which, like ``sample``, is
+    partition-layout-dependent). Splits are EXACTLY disjoint and
+    exhaustive by construction (one bucket, consecutive half-open
+    threshold intervals; split names assigned in sorted-name order so
+    the mapping itself is deterministic), and each split is the SAME
+    row set that :func:`hash_sample` at the cumulative rates would
+    select — recipes compose. Weights must sum to 1 (tolerance 1e-9).
+    Pure column expression: no shuffle, pushable when filtered on."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    bucket = hash_bucket(key_col, salt)
+    expr = None
+    cum = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        thr = _hex_threshold(min(cum, 1.0))
+        cond = bucket < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

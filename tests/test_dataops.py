@@ -2650,3 +2650,45 @@ def test_ngram_counts_brute_force(spark):
     assert got == expect
     assert got["a b"] == (4, 3)
     assert "x y" not in got
+
+
+def test_assign_splits_disjoint_exhaustive_and_composes(spark):
+    """assign_splits: every row gets exactly one split; proportions
+    are near the weights; the 'a'-split row set EQUALS hash_sample at
+    the same cumulative rate (recipe composition); weight validation
+    raises; layout-independent by construction (hash of key only)."""
+    import pytest as _pytest
+
+    from openie_spark.dataops.sampling import assign_splits, hash_sample
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], "doc_id long"
+    )
+    out = assign_splits(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, salt="s7"
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert sum(counts.values()) == 2000
+    assert set(counts) == {"train", "val", "test"}
+    assert 1500 < counts["train"] < 1700  # ~0.8 with hash noise
+    # sorted-name order: test < train < val — the first threshold is
+    # cum=0.1 ('test'), so hash_sample(0.1) selects exactly that set
+    sample = {
+        r["doc_id"] for r in hash_sample(df, 0.1, salt="s7").collect()
+    }
+    split_test = {
+        r["doc_id"] for r in out.filter("split = 'test'").collect()
+    }
+    assert sample == split_test
+
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"a": 0.5, "b": 0.4})
+    with _pytest.raises(ValueError):
+        assign_splits(df, {})
+    with _pytest.raises(ValueError):
+        assign_splits(df, {"a": 1.5, "b": -0.5})
