@@ -709,13 +709,14 @@ def q_events_intervals(spark, sf_dir):
     out = interval_join(
         pts, errors, point_ts="ts", by="user_id", bin_seconds=4 * 3600
     )
+    from openie_spark.dataops.timeutil import epoch_micros
+
     return out.select(
         "event_id",
         F.col("ivl_interval_id").alias("interval_id"),
-        (
-            F.unix_micros(F.col("ts").cast("timestamp"))
-            - F.unix_micros(F.col("ivl_start_ts").cast("timestamp"))
-        ).alias("gap_us"),
+        (epoch_micros(out, "ts") - epoch_micros(out, "ivl_start_ts")).alias(
+            "gap_us"
+        ),
     )
 
 

@@ -30,6 +30,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_micros
+
 # any real timestamp is strictly greater: funnel step 1 accepts the
 # first matching event unconditionally
 _NEG_INF = -(1 << 62)
@@ -58,8 +60,8 @@ def funnel(
         df.select(
             F.col(user_col).alias("user"),
             F.struct(
-                # cast covers TIMESTAMP_NTZ (identity on the micros)
-                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("tm"),
+                # dtype-aware, session-TZ-independent micros (timeutil)
+                epoch_micros(df, ts_col).alias("tm"),
                 F.col(type_col).alias("tp"),
             ).alias("_e"),
         )

@@ -38,20 +38,17 @@ from typing import Dict, Optional, Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_micros
+
 _US = 1_000_000
 
 
-def _micros(ts_col: str) -> Column:
-    # unix_micros wants TIMESTAMP; the cast also covers TIMESTAMP_NTZ
-    # inputs (the session timezone is pinned UTC in build_session, so
-    # the cast is the identity on the underlying micros)
-    return F.unix_micros(F.col(ts_col).cast("timestamp"))
-
-
-def _bin_of(ts_col: str, bin_seconds: int) -> Column:
+def _bin_of(df: DataFrame, ts_col: str, bin_seconds: int) -> Column:
     # integer-micros floor division: exact at every boundary, unlike
     # floor(epoch_double / width) whose division can round across a bin
-    return F.floor(_micros(ts_col) / F.lit(bin_seconds * _US))
+    # (micros derivation is dtype-aware and session-TZ-independent —
+    # see timeutil.epoch_micros)
+    return F.floor(epoch_micros(df, ts_col) / F.lit(bin_seconds * _US))
 
 
 def interval_join(
@@ -85,11 +82,14 @@ def interval_join(
         if c not in intervals.columns:
             raise ValueError(f"intervals is missing column {c!r}")
 
-    p = points.withColumn("_p_bin", _bin_of(point_ts, bin_seconds))
+    p = points.withColumn("_p_bin", _bin_of(points, point_ts, bin_seconds))
     ivl = intervals.filter(F.col(end_col) >= F.col(start_col)).select(
         *[F.col(c).alias(f"{prefix}{c}") for c in intervals.columns],
         F.explode(
-            F.sequence(_bin_of(start_col, bin_seconds), _bin_of(end_col, bin_seconds))
+            F.sequence(
+                _bin_of(intervals, start_col, bin_seconds),
+                _bin_of(intervals, end_col, bin_seconds),
+            )
         ).alias("_i_bin"),
     )
 
@@ -140,7 +140,7 @@ def rolling_agg(
     by_cols = [by] if isinstance(by, str) else list(by)
     w = (
         Window.partitionBy(*[F.col(c) for c in by_cols])
-        .orderBy(_micros(ts_col))
+        .orderBy(epoch_micros(df, ts_col))
         .rangeBetween(-window_seconds * _US, 0)
     )
     out = df.select(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .timeutil import epoch_micros
+
 
 def sessionize(
     events: DataFrame,
@@ -29,7 +31,7 @@ def sessionize(
     ``gap_seconds``. Microsecond-exact arithmetic (``unix_micros``), ties
     on ts broken by event id — deterministic and oracle-matchable."""
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = epoch_micros(events, ts_col)
     prev = F.lag(us).over(w)
     brk = F.when(
         prev.isNull() | (us - prev > gap_seconds * 1_000_000), F.lit(1)
@@ -55,7 +57,7 @@ def session_rollup(
     already co-partitioned by the sessionize window's shuffle, so Catalyst
     plans it without a second exchange."""
     s = sessionize(events, user_col, ts_col, id_col, gap_seconds)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    us = epoch_micros(events, ts_col)
     return s.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(us).alias("start_us"),
@@ -88,13 +90,14 @@ def stream_session_rollup(
     which is the one documented divergence from the batch path — size
     ``watermark`` to the pipeline's real lateness tolerance."""
     ws = events_stream.withWatermark(ts_col, watermark)
+    us = epoch_micros(events_stream, ts_col)
     return ws.groupBy(
         F.col(user_col),
         F.session_window(F.col(ts_col), f"{gap_seconds} seconds"),
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("start_us"),
-        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("max_ts_us"),
+        F.min(us).alias("start_us"),
+        F.max(us).alias("max_ts_us"),
         F.sum(value_col).alias("value_sum"),
     )
 

