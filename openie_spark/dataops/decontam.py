@@ -86,10 +86,21 @@ def ngram_overlap(
     join-back is needed.
     """
     grams = doc_ngrams(train, id_col, text_col, n)
-    tr = train.select(
+    # Materialize the gram array in its OWN projection below the
+    # explode. Putting size(grams) and explode(grams) in one select
+    # plants size's copy of the whole gram-construction expression in
+    # the Project ABOVE the Generate (ExtractGenerator), where it is
+    # re-evaluated once per exploded ROW — O(len²) string building per
+    # doc, the same trap class as the r7 doc_ngrams fix (guide §7.2:
+    # watch for duplicated subtrees). With the array let-bound in a
+    # lower Project, Generate carries the computed array through and
+    # size() above it is O(1) per row. Measured 9.0s → 3.1s on the
+    # sf0.1 bench span (bench_extra ngram_overlap A/B).
+    base = train.select(F.col(id_col), grams.alias("_grams"))
+    tr = base.select(
         F.col(id_col),
-        F.size(grams).cast("long").alias("n_ngrams"),
-        F.explode(grams).alias("ngram"),
+        F.size("_grams").cast("long").alias("n_ngrams"),
+        F.explode("_grams").alias("ngram"),
     )
     ev = (
         eval_df.select(

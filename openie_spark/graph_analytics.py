@@ -37,6 +37,25 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# rows per shuffle partition for the iterative operators' edge tables —
+# two string keys + a couple of longs per row lands a partition in the
+# guide's 100 MB-1 GB band (§2.2); the partition count derives from the
+# DATA size, clamped above by spark.sql.shuffle.partitions (the
+# cluster-configured ceiling), so the same code sizes itself at sf0.1
+# and at 100 TB instead of hard-coding either (guide §2: make
+# partitioning scale-adaptive, not a constant tuned for one scale)
+_EDGE_ROWS_PER_PARTITION = 1_000_000
+
+
+def _adaptive_parts(
+    spark, row_estimate: int, num_partitions: Optional[int]
+) -> int:
+    if num_partitions is not None:
+        return num_partitions
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = -(-max(1, row_estimate) // _EDGE_ROWS_PER_PARTITION)
+    return min(sp, max(8, target))
+
 
 def _sym_edges(
     edges: DataFrame, src: str, dst: str, directed: bool
@@ -47,6 +66,27 @@ def _sym_edges(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
         )
     return e.filter(F.col("_s") != F.col("_d")).distinct()
+
+
+def _sym_edges_partitioned(
+    edges: DataFrame, src: str, dst: str, directed: bool, parts: int
+) -> DataFrame:
+    """_sym_edges already laid out on the _s join key, in ONE exchange:
+    repartition FIRST, dedup second — hashpartitioning(_s) clusters
+    every (_s, _d) pair into one partition, so Catalyst plans the
+    dropDuplicates WITHOUT a second exchange (a distinct-then-
+    repartition order pays two; guide §2.4: share one exchange between
+    operations keyed compatibly)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    return (
+        e.filter(F.col("_s") != F.col("_d"))
+        .repartition(parts, "_s")
+        .dropDuplicates(["_s", "_d"])
+    )
 
 
 def k_hop_neighborhood(
@@ -76,12 +116,15 @@ def k_hop_neighborhood(
     if k < 0:
         raise ValueError("k must be >= 0")
     spark = edges.sparkSession
-    e = _sym_edges(edges, src, dst, directed)
     if k > 0:
-        parts = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions")
-        )
-        e = e.repartition(parts, "_s").persist()
+        # one cheap metadata-ish count sizes the edge layout from the
+        # data (×2 when symmetrized); the repartition-then-dedup order
+        # plans a single exchange (see _sym_edges_partitioned)
+        m_est = edges.count() * (1 if directed else 2)
+        parts = _adaptive_parts(spark, m_est, num_partitions)
+        e = _sym_edges_partitioned(edges, src, dst, directed, parts).persist()
+    else:
+        e = _sym_edges(edges, src, dst, directed)
 
     seed_df = spark.createDataFrame(
         [(s,) for s in seeds], f"node {edges.schema[src].dataType.simpleString()}"
@@ -170,14 +213,25 @@ def pagerank_micros(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     spark = edges.sparkSession
-    parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    # One cheap count sizes the edge layout from the DATA (clamped by
+    # spark.sql.shuffle.partitions — see _adaptive_parts); repartition
+    # BEFORE dedup/weight-agg so the whole degree-annotated edge build
+    # runs in a SINGLE exchange: hashpartitioning(_s) clusters every
+    # (_s, _d) pair, so the dedup (or weight groupBy), the out-degree
+    # groupBy(_s), and the e⋈outdeg equi-join all reuse that one layout
+    # with no further Exchange (guide §2.4). The persisted e_deg is
+    # materialized ONCE here; every setup table below (nodes, dangling,
+    # no-in) derives from the cache instead of re-running the dedup
+    # subtree per setup job (measured: the old shape recomputed the
+    # scan+distinct 3× across the nodes/dangling/e_deg jobs).
+    m_est = edges.count()
+    parts = _adaptive_parts(spark, m_est, num_partitions)
     if weight_col is None:
         e = (
             edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
             .filter(F.col("_s") != F.col("_d"))
-            .distinct()
+            .repartition(parts, "_s")
+            .dropDuplicates(["_s", "_d"])
             .withColumn("_w", F.lit(1).cast("long"))
         )
     else:
@@ -188,37 +242,59 @@ def pagerank_micros(
                 F.col(weight_col).cast("long").alias("_w"),
             )
             .filter(F.col("_s") != F.col("_d"))
+            .repartition(parts, "_s")
             .groupBy("_s", "_d")
             .agg(F.sum("_w").cast("long").alias("_w"))
             .filter(F.col("_w") > 0)
         )
+    outdeg = e.groupBy(F.col("_s")).agg(
+        F.sum("_w").cast("long").alias("_deg")
+    )
+    e_deg = e.join(outdeg, "_s").persist()
+    e_deg.count()  # materialize the cache; everything below reads it
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
+        e_deg.select(F.col("_s").alias("node"))
+        .unionByName(e_deg.select(F.col("_d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
+        e_deg.unpersist()
         return nodes.withColumn("rank_micros", F.lit(0).cast("long"))
     if seeds is not None:
         seed_list = list(seeds)
         n_seeds = nodes.filter(F.col("node").isin(seed_list)).count()
         if n_seeds == 0:
+            e_deg.unpersist()
             raise ValueError("no seed is present in the graph")
         is_tele = F.col("node").isin(seed_list)
         tele_n = n_seeds
     else:
         is_tele = F.lit(True)
         tele_n = n
-    outdeg = e.groupBy(F.col("_s")).agg(
-        F.sum("_w").cast("long").alias("_deg")
-    )
-    e_deg = e.join(outdeg, "_s").repartition(parts, "_s").persist()
     # nodes with no out-edges — static across iterations
     dangling_nodes = nodes.join(
-        outdeg.select(F.col("_s").alias("node")), "node", "left_anti"
+        e_deg.select(F.col("_s").alias("node")).distinct(),
+        "node",
+        "left_anti",
     ).localCheckpoint(eager=True)
+    # nodes with no IN-edges — also static: they receive in_sum = 0
+    # every iteration, so the per-iteration dense `nodes LEFT JOIN
+    # contrib` (one extra join + exchange per iteration) is replaced by
+    # a narrow UNION of this precomputed zero set with the contrib
+    # aggregate (guide §2.4: remove shuffles outright). contrib's key
+    # set is exactly the distinct in-edge endpoints, so the union
+    # covers every node exactly once — bit-identical output.
+    no_in_nodes = (
+        nodes.join(
+            e_deg.select(F.col("_d").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .withColumn("in_sum", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
     base = 1_000_000 // tele_n  # uniform init over the teleport set
     teleport = ((100 - damping_pct) * 1_000_000 // 100) // tele_n
     ranks = nodes.withColumn(
@@ -247,7 +323,7 @@ def pagerank_micros(
                 )
             )
             ranks = (
-                nodes.join(contrib, "node", "left")
+                contrib.unionByName(no_in_nodes)
                 .crossJoin(F.broadcast(dangling))
                 .withColumn(
                     "_inner",
@@ -304,13 +380,19 @@ def k_core(
         eager=True
     )
     for _ in range(max_rounds):
+        # materialize the (small, per-node) degree table once per round:
+        # the old shape re-ran the groupBy for deg.count(), keep.count()
+        # AND each semi-join — ~3× the per-round aggregation work
+        # (ADVICE r7); now one aggregation job + one cheap count on the
+        # materialized result decide convergence, and the semi-joins
+        # read the same checkpoint.
         deg = e.groupBy(F.col("_s").alias("node")).agg(
             F.count(F.lit(1)).cast("long").alias("degree")
-        )
-        keep = deg.filter(F.col("degree") >= k).select("node")
-        n_bad = deg.count() - keep.count()
+        ).localCheckpoint(eager=True)
+        n_bad = deg.filter(F.col("degree") < k).count()
         if n_bad == 0:
             return deg
+        keep = deg.filter(F.col("degree") >= k).select("node")
         e = (
             e.join(keep.withColumnRenamed("node", "_s"), "_s", "left_semi")
             .join(keep.withColumnRenamed("node", "_d"), "_d", "left_semi")
@@ -483,31 +565,44 @@ def hits_micros(
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
     spark = edges.sparkSession
-    parts = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    )
-    e = (
+    m_est = edges.count()
+    parts = _adaptive_parts(spark, m_est, num_partitions)
+    # TWO persisted copies, one per join key: the auth sweep joins on
+    # _s, the hub sweep on _d — a single _s-partitioned copy forces a
+    # full edge-table re-shuffle on EVERY hub sweep (iterations× the
+    # dominant shuffle; guide §2.4 "two operations keyed the same way
+    # can share one exchange"). One extra materialization, paid once.
+    # repartition-then-dedup plans the _s copy in a single exchange
+    # (see _sym_edges_partitioned's rationale).
+    e_s = (
         edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
         .filter(F.col("_s") != F.col("_d"))
-        .distinct()
         .repartition(parts, "_s")
+        .dropDuplicates(["_s", "_d"])
         .persist()
     )
+    e_s.count()  # materialize once; the _d copy and nodes read the cache
+    e_d = e_s.repartition(parts, "_d").persist()
     nodes = (
-        e.select(F.col("_s").alias("node"))
-        .unionByName(e.select(F.col("_d").alias("node")))
+        e_s.select(F.col("_s").alias("node"))
+        .unionByName(e_s.select(F.col("_d").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     hub = nodes.withColumn("hub_micros", F.lit(1_000_000).cast("long"))
     auth = nodes.withColumn("auth_micros", F.lit(0).cast("long"))
 
-    def _sweep(scores, in_col, join_on, emit, out_col):
+    def _sweep(scores, in_col, edge_side, join_on, emit, out_col):
         """One half-iteration: propagate `in_col` across edges from
         endpoint `join_on` to endpoint `emit`, then L1-rescale into
-        `out_col`."""
+        `out_col`. Scores are SPARSE between sweeps: a node whose raw
+        sum is 0 is simply absent — it contributes nothing to the next
+        sweep's join and nothing to the L1 total, and the final select
+        coalesces it back to literal 0, so the dense per-sweep
+        `nodes LEFT JOIN raw` (one join per sweep over every node) is
+        dropped with bit-identical output."""
         raw = (
-            scores.join(e, scores["node"] == e[join_on])
+            scores.join(edge_side, scores["node"] == edge_side[join_on])
             .select(F.col(emit).alias("node"), F.col(in_col).alias("s"))
             .groupBy("node")
             .agg(F.sum("s").cast("long").alias("raw"))
@@ -519,29 +614,36 @@ def hits_micros(
             ).alias("_den")
         )
         return (
-            nodes.join(raw, "node", "left")
-            .crossJoin(F.broadcast(total))
+            raw.crossJoin(F.broadcast(total))
             .select(
                 "node",
-                F.expr("coalesce(raw, 0) div _den")
-                .cast("long")
-                .alias(out_col),
+                F.expr("raw div _den").cast("long").alias(out_col),
             )
         )
 
     try:
         for _ in range(iterations):
             auth = _sweep(
-                hub, "hub_micros", "_s", "_d", "auth_micros"
+                hub, "hub_micros", e_s, "_s", "_d", "auth_micros"
             ).localCheckpoint(eager=True)
             hub = _sweep(
-                auth, "auth_micros", "_d", "_s", "hub_micros"
+                auth, "auth_micros", e_d, "_d", "_s", "hub_micros"
             ).localCheckpoint(eager=True)
     finally:
-        e.unpersist()
+        e_s.unpersist()
+        e_d.unpersist()
     return (
-        auth.join(hub, "node")
-        .select("node", "auth_micros", "hub_micros")
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("auth_micros"), F.lit(0))
+            .cast("long")
+            .alias("auth_micros"),
+            F.coalesce(F.col("hub_micros"), F.lit(0))
+            .cast("long")
+            .alias("hub_micros"),
+        )
     )
 
 
@@ -562,13 +664,38 @@ def triangle_count(
     hubs. The final per-node count explodes each triangle to its three
     vertices and sums — integers end to end.
     """
+    und, deg = _canonical_und(edges, src, dst)
+    return _triangles_from(und, deg)
+
+
+def _canonical_und(edges: DataFrame, src: str, dst: str):
+    """(und, deg) shared by the triangle family: the canonical
+    undirected edge set (one row per {u,v}, _s < _d), MATERIALIZED via
+    localCheckpoint, and the per-node degree derived from it.
+
+    Why materialize: und feeds the orientation join, the closing join,
+    and (twice, via deg) the ranking — with an expensive upstream (the
+    co-occurrence self-join the driver queries build) each consumer
+    re-executes the whole subtree; the executed r7 plan showed 28
+    parquet scans / 61 Exchanges and zero reuse for one triangle count
+    (guide §7.2: duplicated subtrees; §3.3: materialize to truncate).
+    Degree comes from exploding und's two endpoints — identical to
+    counting the symmetrized distinct edge set per source, without
+    re-deriving it."""
     e = _sym_edges(edges, src, dst, directed=False)
-    # canonical undirected edge set (one row per {u,v})
-    und = e.filter(F.col("_s") < F.col("_d"))
+    und = e.filter(F.col("_s") < F.col("_d")).localCheckpoint(eager=True)
     deg = (
-        e.groupBy(F.col("_s").alias("n"))
+        und.select(F.col("_s").alias("n"))
+        .unionByName(und.select(F.col("_d").alias("n")))
+        .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    return und, deg
+
+
+def _triangles_from(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Per-node triangle counts from the materialized canonical parts
+    (see :func:`_canonical_und`)."""
     # orientation key: (degree, id) — total order, deterministic
     ranked = und.alias("u").join(
         deg.alias("da"), F.col("u._s") == F.col("da.n")
@@ -576,10 +703,12 @@ def triangle_count(
     lower_first = (F.col("da.deg") < F.col("db.deg")) | (
         (F.col("da.deg") == F.col("db.deg")) & (F.col("u._s") < F.col("u._d"))
     )
+    # oriented is consumed TWICE by the wedge self-join — materialize so
+    # the two sides read one copy instead of re-running the ranking
     oriented = ranked.select(
         F.when(lower_first, F.col("u._s")).otherwise(F.col("u._d")).alias("a"),
         F.when(lower_first, F.col("u._d")).otherwise(F.col("u._s")).alias("b"),
-    )
+    ).localCheckpoint(eager=True)
     # wedges from the low vertex: (a->b, a->c), b != c; close with b->c
     # in EITHER orientation of the remaining edge — compare on the
     # canonical (min, max) form so the closing join stays one equi-join.
@@ -621,11 +750,11 @@ def clustering_coefficients(
     graph. One extra left join + the degree agg on top of the triangle
     plan — nodes without triangles get 0, not dropped.
     """
-    e = _sym_edges(edges, src, dst, directed=False)
-    deg = e.groupBy(F.col("_s").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    und, deg0 = _canonical_und(edges, src, dst)
+    deg = deg0.select(
+        F.col("n").alias("node"), F.col("deg").cast("long").alias("degree")
     )
-    tri = triangle_count(edges, src, dst)
+    tri = _triangles_from(und, deg0)
     # integer div, not `/` — float division loses exactness past 2^53
     # (a 100M-degree hub squares beyond double precision)
     wedges = F.expr("degree * (degree - 1) div 2").cast("long")
