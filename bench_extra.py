@@ -116,14 +116,16 @@ def main() -> None:
 
         return force(triangle_count(co_pairs()))
 
-    def span_kg_graph():
+    _kg_state: dict = {}
+
+    def _kg_triples():
+        """Build + cache the triples table ONCE (outside span timing),
+        mirroring bench.py which caches triples before the kg_graph
+        span."""
+        if "triples" in _kg_state:
+            return _kg_state["triples"]
         from openie_spark.corpus import STOPWORDS_FIXTURE, pages_df
         from openie_spark.extract import extract_triples_df, ok_triples
-        from openie_spark.graph import (
-            aggregate_edges,
-            aggregate_nodes,
-            with_degrees,
-        )
         from openie_spark.parse import parse_pages
         from openie_spark.textclean import clean_pages
 
@@ -136,8 +138,18 @@ def main() -> None:
                 with_vectors=True,
             )
         ).cache()
-        triples.count()  # outside the timed lambda on first use
-        labeled = triples.withColumn("cluster", F.lit(0))
+        triples.count()
+        _kg_state["triples"] = triples
+        return triples
+
+    def span_kg_graph():
+        from openie_spark.graph import (
+            aggregate_edges,
+            aggregate_nodes,
+            with_degrees,
+        )
+
+        labeled = _kg_triples().withColumn("cluster", F.lit(0))
         nodes = aggregate_nodes(labeled, max_descriptions=256, dim=64)
         edges = aggregate_edges(labeled, max_descriptions=256)
         return force(with_degrees(nodes, edges))

@@ -55,7 +55,13 @@ def chunk_tokens(
         raise ValueError(f"overlap must be in [0, size): {overlap}")
     stride = size - overlap
     toks = F.array_remove(F.split(normalized_text(text_col), " "), "")
-    n = F.size(toks)
+    # let-bind the token array in its own projection: deriving n and the
+    # start list from the _toks ATTRIBUTE means the normalize+split
+    # chain evaluates once per doc — with the expression inline, the
+    # Generate node and the size/array columns each re-evaluated it
+    # (a constant-factor cousin of the CollapseProject trap)
+    base = df.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size(F.col("_toks"))
     # 0-based starts; emit s iff s == 0 or s + overlap < n (the window
     # contributes a new token). sequence() is inclusive and would
     # DESCEND on an empty doc — the n >= 1 guard prevents that.
@@ -66,10 +72,10 @@ def chunk_tokens(
     starts = F.when(n >= 1, starts).otherwise(
         F.array().cast("array<int>")
     )
-    exploded = df.select(
+    exploded = base.select(
         F.col(id_col),
         n.alias("_n"),
-        toks.alias("_toks"),
+        F.col("_toks"),
         F.explode(starts).alias("start_token"),
     )
     return exploded.select(

@@ -74,12 +74,32 @@ def inverted_index(
         F.col("_p.positions").cast("array<long>").alias("positions"),
         F.size("_p.positions").cast("long").alias("tf"),
     )
-    n_docs = df.select(F.col(id_col)).distinct().count()
-    max_df = int(max_df_frac * n_docs)
+    # df cutoff deferred into the plan (ADVICE r7): the old eager
+    # .distinct().count() ran a full corpus scan at CONSTRUCTION time —
+    # every caller paid a job before any action on the returned frame.
+    # The doc count is now a 1-row scalar aggregate cross-joined in, and
+    # the cutoff compares with EXACT integer arithmetic (df·den ≤
+    # num·n_docs via the fraction's rational form) instead of a float
+    # multiply/truncate that can disagree with a rational oracle cutoff
+    # for adversarial fractions (for the driver's 0.9 the two agree on
+    # every n, so the query result is unchanged).
+    from fractions import Fraction
+
+    frac = Fraction(max_df_frac).limit_denominator(1_000_000_000)
+    nd = df.select(
+        F.count_distinct(F.col(id_col)).cast("long").alias("_n_docs")
+    )
     dfreq = (
         postings.groupBy("term")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .filter((F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        .crossJoin(F.broadcast(nd))
+        .filter(
+            (F.col("_df") >= min_df)
+            & (
+                F.col("_df") * F.lit(frac.denominator)
+                <= F.lit(frac.numerator) * F.col("_n_docs")
+            )
+        )
         .select("term")
     )
     return postings.join(F.broadcast(dfreq), "term", "left_semi")

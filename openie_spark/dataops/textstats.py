@@ -133,16 +133,31 @@ def winnowing_fingerprints(
     """Winnowing (rolling-hash) fingerprints: per doc, the set of window
     minima over k-gram hashes — the standard near-copy detection sketch.
     JVM-side: k-gram shingles → hash → sliding-window min via transform."""
+    # both levels LET-BOUND (the word_shingles idiom): referencing the
+    # token array inside the per-k-gram lambda — or the k-gram hash
+    # array inside the per-window lambda — re-evaluates the captured
+    # subtree once PER ELEMENT after CollapseProject (O(len²) per doc,
+    # twice over); binding each as a lambda variable evaluates each
+    # exactly once per row
     toks = _tokens(text_col)
-    kgrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-        lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, k), " ")),
-    )
-    n_windows = F.greatest(F.size(kgrams) - window + 1, F.lit(1))
     mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda w: F.array_min(F.slice(kgrams, w + 1, window)),
-    )
+        F.array(toks),
+        lambda t: F.transform(
+            F.array(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
+                    lambda i: F.xxhash64(F.array_join(F.slice(t, i + 1, k), " ")),
+                )
+            ),
+            lambda kg: F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size(kg) - window + 1, F.lit(1)) - 1,
+                ),
+                lambda w: F.array_min(F.slice(kg, w + 1, window)),
+            ),
+        )[0],
+    )[0]
     return df.select(
         F.col(id_col), F.array_distinct(mins).alias("fingerprints")
     )
