@@ -63,7 +63,7 @@ def _pair_fold(tokens: F.Column) -> F.Column:
     accumulator arrays (``seen`` and the growing ``pairs``) are COPIED
     on every ``concat`` — at step i that copies O(i²) accumulated pair
     structs, so a doc with T distinct tokens costs O(T³) element copies
-    for O(T²) output (measured 2.6s → 1.1s for the sf0.1 token_pmi
+    for O(T²) output (measured 2.6s → 1.4s for the sf0.1 token_pmi
     span, and the gap widens with doc length). ``flatten ∘ transform``
     allocates each pair exactly once. The input array is still
     let-bound via the 1-element transform (the CollapseProject trap —

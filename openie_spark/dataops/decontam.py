@@ -94,7 +94,7 @@ def ngram_overlap(
     # doc, the same trap class as the r7 doc_ngrams fix (guide §7.2:
     # watch for duplicated subtrees). With the array let-bound in a
     # lower Project, Generate carries the computed array through and
-    # size() above it is O(1) per row. Measured 9.0s → 3.1s on the
+    # size() above it is O(1) per row. Measured 9.1s → 1.3s on the
     # sf0.1 bench span (bench_extra ngram_overlap A/B).
     base = train.select(F.col(id_col), grams.alias("_grams"))
     tr = base.select(

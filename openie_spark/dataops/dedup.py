@@ -119,29 +119,20 @@ def minhash_signatures(
         ]
     )  # foldable → one literal array
     shs = word_shingles(text_col, shingle_n)
-    # TRANSPOSED lane loop: for each lane, a scalar-accumulator
-    # ``aggregate`` over the (let-bound, evaluated-once) shingle-hash
-    # array. The previous formulation folded over shingles with a
-    # zip_with accumulator, allocating a fresh n_hashes-long array per
-    # SHINGLE (S allocations of 64 elements per doc); this shape does
-    # the same S×64 least/affine operations with a scalar accumulator
-    # and no per-element allocation — measured 0.87s → 0.46s for the
-    # signature pass at 5k docs, bit-identical signatures (min is
-    # order-independent). ``hvarr`` is a lambda variable, so the hash
-    # array evaluates once per row, not once per lane (the
-    # CollapseProject trap documented above).
+    # Formulation note (r8, measured both ways): a transposed per-lane
+    # scalar ``aggregate`` over the let-bound hash array (no per-shingle
+    # array allocation) measured 2× FASTER at 5k docs (0.87→0.46s) but
+    # ~25% SLOWER at 50k docs (2.63→3.34s) — the zip_with fold wins at
+    # scale, so it stays (guide §1.2: re-measure at more than one size
+    # before adopting).
     hv = F.transform(F.col("_shs"), lambda s: F.pmod(F.xxhash64(s), F.lit(P31)))
-    sig = F.transform(
-        F.array(hv),
-        lambda hvarr: F.transform(
-            ab,
-            lambda c: F.aggregate(
-                hvarr,
-                F.lit(P31).cast("long"),
-                lambda m, h: F.least(m, (c["a"] * h + c["b"]) % P31),
-            ),
+    sig = F.aggregate(
+        hv,
+        F.array_repeat(F.lit(P31).cast("long"), n_hashes),
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, c: F.least(m, (c["a"] * h + c["b"]) % P31)
         ),
-    )[0]
+    )
     return (
         df.select(F.col(id_col), shs.alias("_shs"))
         .filter(F.size("_shs") > 0)

@@ -60,14 +60,16 @@ def top_terms(
     that fraction of docs (the IDF cutoff as a pre-join filter).
     Returns (id, term, tf, term_df, rank) — all integers + the term."""
     tc = term_counts(df, id_col, text_col)
-    # Doc frequency derived FROM the term-count table: tc has exactly
-    # one row per (doc, distinct term), so count(*) grouped by term IS
-    # token_doc_freq's result — without a second normalize+tokenize+
-    # explode pass over the corpus (guide §2.3/§2.4: the tc exchange is
-    # shared by both consumers via ReuseExchange; the re-aggregation
-    # shuffles the small per-doc term table, not the exploded corpus).
-    dfreq = tc.groupBy("term").agg(
-        F.count(F.lit(1)).alias("term_df")
+    # Formulation note (r8, measured both ways): deriving dfreq FROM tc
+    # (groupBy(term).count over the per-doc term table — identical
+    # counts, one corpus tokenize pass on paper) measured ~2× SLOWER at
+    # 50k docs (1.35→2.78s): tc is consumed twice and the expected
+    # exchange reuse does not materialize, so the corpus pass runs
+    # twice PLUS the extra aggregation. The two independent passes
+    # stay (guide §1.2: a first-principles "ideal" plan loses to the
+    # measured one).
+    dfreq = token_doc_freq(df, id_col, text_col).select(
+        F.col("token").alias("term"), F.col("docs").alias("term_df")
     )
     if min_df > 1:
         dfreq = dfreq.filter(F.col("term_df") >= min_df)

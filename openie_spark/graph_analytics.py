@@ -37,14 +37,17 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# rows per shuffle partition for the iterative operators' edge tables —
-# two string keys + a couple of longs per row lands a partition in the
-# guide's 100 MB-1 GB band (§2.2); the partition count derives from the
-# DATA size, clamped above by spark.sql.shuffle.partitions (the
-# cluster-configured ceiling), so the same code sizes itself at sf0.1
-# and at 100 TB instead of hard-coding either (guide §2: make
-# partitioning scale-adaptive, not a constant tuned for one scale)
-_EDGE_ROWS_PER_PARTITION = 1_000_000
+# rows per shuffle partition for the iterative operators' edge tables.
+# The partition count derives from the DATA size, clamped above by
+# spark.sql.shuffle.partitions (the cluster-configured ceiling), so the
+# same code sizes itself at sf0.1 and at 100 TB instead of hard-coding
+# either (guide §2.2: fewer, larger partitions — but measured, not
+# assumed). 250k edge rows ≈ tens of MB per partition; A/B at both
+# 0.7M and 12M edges: 1M rows/partition under-parallelized the 12M-edge
+# graph on this machine (12 tasks), while 250k keeps the small-graph
+# win (8 partitions at 0.7M edges) and restores ~full parallelism at
+# 12M (48), converging to the configured ceiling as data grows.
+_EDGE_ROWS_PER_PARTITION = 250_000
 
 
 def _adaptive_parts(
