@@ -1712,61 +1712,18 @@ def q_hits(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """All 80 declared queries. ORDER IS A COVERAGE POLICY, not
+    aesthetics (VERDICT r7 item 4): the r7 driver validated exactly the
+    FIRST 50 entries, so entries are ordered least-recently-
+    driver-checked first — (1) the 30 queries the driver has never
+    checked (all locally oracle-verified every round), then (2) the
+    queries whose implementation this round touched (the events-family
+    TZ fix and the optimization-round restructures), then (3) the
+    remainder, every one locally green under both the UTC and
+    America/New_York sweep legs. No query's semantics, name, or oracle
+    SQL changed — only dict insertion order."""
     return {
-        # KG pipeline (parse + rule extraction run live; oracled against
-        # reference-derived golden parquet — tools/make_goldens.py)
-        "kg_triples": q_kg_triples,
-        "kg_nodes": q_kg_nodes,
-        "kg_edges": q_kg_edges,
-        "kg_merge_apply": q_kg_merge_apply,
-        "kg_merge_fixpoint_nodes": q_kg_merge_fixpoint_nodes,
-        "kg_merge_fixpoint_edges": q_kg_merge_fixpoint_edges,
-        "kg_clustering": q_kg_clustering,
-        # relational operator shapes with full DuckDB oracles
-        "node_aggregate": q_node_aggregate,
-        "edge_aggregate": q_edge_aggregate,
-        "degrees": q_degrees,
-        "topk_window": q_topk_window,
-        "merge_candidates": q_merge_candidates,
-        "set_ops": q_set_ops,
-        # training-data ops
-        "exact_dedup": q_exact_dedup,
-        "token_count": q_token_count,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_batch": q_ann_ivf_batch,
-        "minhash_dedup": q_minhash_dedup,
-        "minhash_join": q_minhash_join,
-        "neardup_components": q_neardup_components,
-        "simhash_dedup": q_simhash_dedup,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
-        "events_top_event": q_events_top_event,
-        "events_rollup": q_events_rollup,
-        "events_asof": q_events_asof,
-        "events_sessions": q_events_sessions,
-        "events_intervals": q_events_intervals,
-        "events_rolling": q_events_rolling,
-        "events_quantiles": q_events_quantiles,
-        "hash_sample": q_hash_sample,
-        "line_dedup": q_line_dedup,
-        "token_pmi": q_token_pmi,
-        "repetition": q_repetition,
-        "top_terms": q_top_terms,
-        "ngram_overlap": q_ngram_overlap,
-        "k_hop": q_k_hop,
-        "triangles": q_triangles,
-        "pagerank": q_pagerank,
-        "exact_k_sample": q_exact_k_sample,
-        "chunk_tokens": q_chunk_tokens,
-        "approx_distinct": q_approx_distinct,
-        "upsample": q_upsample,
-        "pack_sequences": q_pack_sequences,
-        "clustering_coeff": q_clustering_coeff,
+        # --- (1) never driver-checked as of CORRECTNESS_r07 ---
         "link_graph": q_link_graph,
         "anchor_dictionary": q_anchor_dictionary,
         "pagerank_seeded": q_pagerank_seeded,
@@ -1797,6 +1754,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_jpeg": q_media_gif_jpeg,
         "ngram_counts": q_ngram_counts,
         "assign_splits": q_assign_splits,
+        # --- (2) touched this round (r8): the TZ fix + optimizations ---
+        "events_sessions": q_events_sessions,
+        "events_intervals": q_events_intervals,
+        "events_rolling": q_events_rolling,
+        "events_asof": q_events_asof,
+        "pagerank": q_pagerank,
+        "k_hop": q_k_hop,
+        "triangles": q_triangles,
+        "clustering_coeff": q_clustering_coeff,
+        "token_pmi": q_token_pmi,
+        "top_terms": q_top_terms,
+        "ngram_overlap": q_ngram_overlap,
+        "chunk_tokens": q_chunk_tokens,
+        "pack_sequences": q_pack_sequences,
+        "minhash_dedup": q_minhash_dedup,
+        "minhash_join": q_minhash_join,
+        "neardup_components": q_neardup_components,
+        "line_dedup": q_line_dedup,
+        # KG pipeline flagships (parse + rule extraction run live;
+        # oracled against reference-derived goldens)
+        "kg_triples": q_kg_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        # --- (3) driver-checked green in r7, untouched this round ---
+        "kg_merge_apply": q_kg_merge_apply,
+        "kg_merge_fixpoint_nodes": q_kg_merge_fixpoint_nodes,
+        "kg_merge_fixpoint_edges": q_kg_merge_fixpoint_edges,
+        "kg_clustering": q_kg_clustering,
+        "node_aggregate": q_node_aggregate,
+        "edge_aggregate": q_edge_aggregate,
+        "degrees": q_degrees,
+        "topk_window": q_topk_window,
+        "merge_candidates": q_merge_candidates,
+        "set_ops": q_set_ops,
+        "exact_dedup": q_exact_dedup,
+        "token_count": q_token_count,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_batch": q_ann_ivf_batch,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "events_top_event": q_events_top_event,
+        "events_rollup": q_events_rollup,
+        "events_quantiles": q_events_quantiles,
+        "hash_sample": q_hash_sample,
+        "repetition": q_repetition,
+        "exact_k_sample": q_exact_k_sample,
+        "approx_distinct": q_approx_distinct,
+        "upsample": q_upsample,
     }
 
 
